@@ -1,0 +1,309 @@
+"""Typed configuration tree for the whole framework.
+
+Replaces the reference's three config mechanisms (OpenCV ``cv::FileStorage``
+YAML per camera, roslaunch ``<param>``s, and compile-time ``#define``s — see
+reference ``ORB_SLAM2/Examples/RGB-D/TUM3.yaml``, ``launch/sindslam_ros.launch``,
+``ORB_SLAM2/CMakeLists.txt:14-22``) with one dataclass tree, plus a loader for
+reference-format OpenCV YAML files so the bundled camera configs keep working.
+
+All hard-coded constants in the reference are promoted to fields here and cite
+their origin (file:line in /root/reference).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class CameraConfig:
+    """Pinhole RGB-D camera intrinsics.
+
+    Reference: ``ORB_SLAM2/Examples/RGB-D/TUM3.yaml:8-33`` and the reads in
+    ``Examples/RGB-D/rgbd_tum_noros.cc:82-86`` / ``src/Tracking.cc`` ctor.
+    """
+
+    fx: float = 535.4
+    fy: float = 539.2
+    cx: float = 320.1
+    cy: float = 247.6
+    width: int = 640
+    height: int = 480
+    # TUM depth PNGs store depth*5000 (``DepthMapFactor`` in the YAMLs).
+    depth_factor: float = 5000.0
+    # Radial/tangential distortion (k1, k2, p1, p2, k3). TUM3 is rectified.
+    k1: float = 0.0
+    k2: float = 0.0
+    p1: float = 0.0
+    p2: float = 0.0
+    k3: float = 0.0
+    fps: float = 30.0
+    # Virtual-stereo baseline*fx used for the RGB-D "stereo" formulation
+    # (reference ``Camera.bf`` in the YAMLs, e.g. TUM3.yaml).
+    bf: float = 40.0
+    # Close/far point threshold in virtual-stereo units (``ThDepth``).
+    th_depth: float = 40.0
+    rgb: bool = True  # color order flag (``Camera.RGB``)
+
+    @property
+    def baseline(self) -> float:
+        return self.bf / self.fx
+
+    def intrinsics(self) -> Tuple[float, float, float, float]:
+        return (self.fx, self.fy, self.cx, self.cy)
+
+
+@dataclass(frozen=True)
+class ORBConfig:
+    """ORB extractor parameters.
+
+    Reference: ``ORB_SLAM2/Examples/RGB-D/TUM3.yaml:41-54`` (1500 features, 8
+    levels, scale 1.2, FAST thresholds 15/5) and the lost-prevention revert
+    threshold in ``src/ORBextractor.cc:1105-1115``.
+    """
+
+    n_features: int = 1500
+    scale_factor: float = 1.2
+    n_levels: int = 8
+    ini_th_fast: int = 15
+    min_th_fast: int = 5
+    # If fewer than this many keypoints survive dynamic-mask erasure, the
+    # erasure is reverted (reference ``src/ORBextractor.cc:1105-1115``).
+    min_keypoints_after_mask: int = 250
+    # Static per-level candidate cap before spatial suppression (TPU static
+    # shapes; generous multiple of n_features per level).
+    max_candidates_per_level: int = 4096
+
+
+@dataclass(frozen=True)
+class FlowConfig:
+    """Variational dense optical-flow solver parameters.
+
+    Parity target: ``cv::cuda::BroxOpticalFlow(0.197, 50.0, 0.8, 10, 77, 10)``
+    + ``cv::VariationalRefinement`` (reference ``src/DynaDetect.cc:1028-1033,
+    1133-1143``), computed at 0.6x scale (``src/DynaDetect.cc:1033``).
+    """
+
+    alpha: float = 0.197       # smoothness weight
+    gamma: float = 50.0        # gradient-constancy weight
+    pyramid_scale: float = 0.8
+    n_levels: int = 10         # pyramid depth cap
+    outer_iterations: int = 25 # lagged-nonlinearity updates per level
+    inner_iterations: int = 3  # linearization updates per outer
+    solver_iterations: int = 10  # red-black relaxation sweeps per inner
+    sor_omega: float = 1.9
+    working_scale: float = 0.6  # flow computed at 0.6x then upscaled
+    # Working-resolution canvas (0.6 * 640x480). Static for XLA.
+    working_width: int = 384
+    working_height: int = 288
+    use_pallas: Optional[bool] = None  # None = auto (TPU only)
+
+
+@dataclass(frozen=True)
+class DynaConfig:
+    """Dynamic-region detector (DynaDetect equivalent) parameters.
+
+    Reference constants: ``src/DynaDetect.cc:43-48`` (640x480, 3x4 cluster
+    grid, depth weight 1.5), thresholds ``:1309-1367``, fusion ``:1560-1634``,
+    driver dilation ``Examples/RGB-D/rgbd_tum_noros.cc:108,138``.
+    """
+
+    # --- k-means re-clustering (SegByKmeans, DynaDetect.cc:315-420)
+    n_clusters: int = 12
+    cluster_grid_rows: int = 3
+    cluster_grid_cols: int = 4
+    depth_weight: float = 1.5
+    max_depth_m: float = 6.0
+    kmeans_iters: int = 4
+    kmeans_pyramid_levels: int = 4
+    kmeans_pyramid_scale: float = 0.5
+    # Padded maximum number of post-merge clusters (static shapes on TPU).
+    max_clusters: int = 16
+
+    # --- depth/plane edges (CalOccluded, DynaDetect.cc:429-642)
+    depth_edge_rel: float = 0.03      # 3% of depth
+    depth_edge_abs_mm: float = 400.0  # floor in millimetres
+    median_ksize: int = 5
+    endpoint_nms_radius: int = 6
+
+    # --- plane segmentation (PEAC equivalent)
+    plane_block: int = 16
+    plane_min_support: int = 2000
+    plane_z_min_mm: float = 500.0
+    plane_z_max_mm: float = 6000.0
+    plane_merge_cos: float = 0.966    # cos(15 deg) similarity to merge
+    plane_mse_tol_mm: float = 17.0
+
+    # --- RAG merge (SegAndMergeV2, DynaDetect.cc:653-1018)
+    rag_adjacency_min_overlap: float = 200.0
+    rag_adjacency_frac: float = 0.4
+    rag_hist_reject: float = 0.19
+    rag_fake_edge_overlap: float = 0.62
+    rag_small_cluster_weight: float = 2.0
+    rag_near_cluster_weight: float = 0.7
+    rag_merge_score_min: float = 0.9
+    min_cluster_area: int = 80
+
+    # --- flow-residual masking (DynaDetect.cc:1023-1374)
+    sample_grid_step: int = 10
+    large_motion_flow_px: float = 10.0
+    large_motion_frac: float = 0.30
+    ransac_iters: int = 512
+    ransac_thresh_px: float = 1.5
+    low_thresh_min: float = 1.7
+    low_thresh_max: float = 3.0
+    high_thresh_min_scale: float = 1.2  # high >= max(3, 1.2*low)
+    high_thresh_floor: float = 3.0
+    high_thresh_max: float = 10.0
+    low_refire_frac: float = 0.5  # re-raise low if >50% of pixels fire
+    w_invalid: float = 1.0
+    w_static: float = 1.2
+    w_dynamic: float = 0.4
+    sample_jitter_std: float = 0.5
+
+    # --- fusion (DynaDetect.cc:1560-1634)
+    fuse_dilate_iters: int = 5
+    final_dilate_iters: int = 9
+    flood_min_area: float = 100.0
+    flood_roundness: float = 0.2
+    flood_big_area: float = 2000.0
+    cluster_dynamic_frac: float = 0.5
+    # Driver-side post-dilation of the final mask (rgbd_tum_noros.cc:108,138).
+    mask_dilate_ksize: int = 15
+
+    # Mask encoding (DynaDetect.cc:1622,1633-1634).
+    mask_dynamic: int = 255
+    mask_static: int = 125
+    mask_invalid: int = 0
+
+
+@dataclass(frozen=True)
+class TrackingConfig:
+    """SLAM-core tracking / local-mapping parameters (batched GN backend)."""
+
+    # Pose-only optimization: reference g2o ran 4 rounds x 10 LM iterations
+    # with chi2 outlier re-classification (``src/Optimizer.cc:239-451``).
+    pose_opt_rounds: int = 4
+    pose_opt_iters: int = 10
+    chi2_mono: float = 5.991
+    chi2_stereo: float = 7.815
+    # Matching
+    max_matches: int = 2048
+    hamming_th_high: int = 100
+    hamming_th_low: int = 50
+    nn_ratio: float = 0.9
+    search_radius_coarse: float = 15.0
+    search_radius_fine: float = 7.0
+    # Keyframe policy (``src/Tracking.cc:1014-1097``)
+    min_frames_between_kf: int = 0
+    max_frames_between_kf: int = 30
+    kf_ref_ratio: float = 0.75   # insert KF if tracked < ratio * ref tracked
+    min_tracked_points: int = 30
+    # Local BA window caps (padded, static shapes on device)
+    ba_max_keyframes: int = 20
+    ba_max_points: int = 4096
+    ba_iterations: int = 10
+    # Map management
+    max_map_points: int = 65536
+    max_keyframes: int = 2048
+
+
+@dataclass(frozen=True)
+class MappingConfig:
+    """Dense mapping back-end parameters.
+
+    Reference: ``octomap_pub/src/pubPointCloud.cc`` (stride 2 back-projection
+    ``:548-633``, occlusion veto 0.13*d ``:600``, 40% cluster drop ``:655``,
+    0.020 m octree ``:91``, occupancy 0.7 ``:119``) and the 1:5 keyframe
+    decimation (``rgbd_tum_withros.cc:326``).
+    """
+
+    pixel_stride: int = 2
+    depth_min_m: float = 0.01
+    depth_max_m: float = 10.0
+    occlusion_rel_depth: float = 0.13
+    occluded_cluster_frac: float = 0.40
+    voxel_size_m: float = 0.020
+    occupancy_threshold: float = 0.7
+    log_odds_hit: float = 0.85
+    log_odds_miss: float = -0.4
+    log_odds_min: float = -2.0
+    log_odds_max: float = 3.5
+    keyframe_decimation: int = 5
+    outlier_mean_k: int = 100
+    outlier_std: float = 1.0
+    max_points_per_frame: int = 76800  # (640/2)*(480/2)
+    voxel_hash_capacity: int = 1 << 22
+
+
+@dataclass(frozen=True)
+class SystemConfig:
+    """Top-level configuration bundle."""
+
+    camera: CameraConfig = field(default_factory=CameraConfig)
+    orb: ORBConfig = field(default_factory=ORBConfig)
+    flow: FlowConfig = field(default_factory=FlowConfig)
+    dyna: DynaConfig = field(default_factory=DynaConfig)
+    tracking: TrackingConfig = field(default_factory=TrackingConfig)
+    mapping: MappingConfig = field(default_factory=MappingConfig)
+    # Dataset association offset: README prescribes ``--offset -0.033`` for
+    # TUM RGB<->depth alignment (reference ``README.md:78-87``).
+    associate_offset: float = -0.033
+    associate_max_difference: float = 0.02
+    use_viewer: bool = False
+
+    def replace(self, **kw) -> "SystemConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# ---------------------------------------------------------------------------
+# OpenCV-YAML loader (reference camera files: %YAML:1.0 + "Key.SubKey: value")
+# ---------------------------------------------------------------------------
+
+_NUM = re.compile(r"^\s*([A-Za-z0-9_.]+)\s*:\s*(-?[0-9.eE+]+)\s*(?:#.*)?$")
+
+
+def load_opencv_yaml(path: str) -> dict:
+    """Parse a reference-style OpenCV FileStorage YAML into a flat dict.
+
+    These files start with ``%YAML:1.0`` (invalid for PyYAML) and use flat
+    dotted keys (``Camera.fx: 535.4``) — see ``Examples/RGB-D/TUM3.yaml``.
+    """
+    out: dict = {}
+    with open(path, "r") as f:
+        for line in f:
+            m = _NUM.match(line)
+            if m:
+                key, val = m.group(1), m.group(2)
+                out[key] = float(val) if any(c in val for c in ".eE") else int(val)
+    return out
+
+
+def system_config_from_yaml(path: str) -> SystemConfig:
+    """Build a SystemConfig from a reference-format camera YAML file."""
+    d = load_opencv_yaml(path)
+
+    def g(key, default):
+        return d.get(key, default)
+
+    cam = CameraConfig(
+        fx=g("Camera.fx", 535.4), fy=g("Camera.fy", 539.2),
+        cx=g("Camera.cx", 320.1), cy=g("Camera.cy", 247.6),
+        width=int(g("Camera.width", 640)), height=int(g("Camera.height", 480)),
+        depth_factor=g("DepthMapFactor", 5000.0),
+        k1=g("Camera.k1", 0.0), k2=g("Camera.k2", 0.0),
+        p1=g("Camera.p1", 0.0), p2=g("Camera.p2", 0.0), k3=g("Camera.k3", 0.0),
+        fps=g("Camera.fps", 30.0), bf=g("Camera.bf", 40.0),
+        th_depth=g("ThDepth", 40.0), rgb=bool(g("Camera.RGB", 1)),
+    )
+    orb = ORBConfig(
+        n_features=int(g("ORBextractor.nFeatures", 1500)),
+        scale_factor=g("ORBextractor.scaleFactor", 1.2),
+        n_levels=int(g("ORBextractor.nLevels", 8)),
+        ini_th_fast=int(g("ORBextractor.iniThFAST", 15)),
+        min_th_fast=int(g("ORBextractor.minThFAST", 5)),
+    )
+    return SystemConfig(camera=cam, orb=orb)

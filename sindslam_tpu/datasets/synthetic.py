@@ -1,0 +1,190 @@
+"""Synthetic RGB-D scene generator for tests and benchmarks.
+
+The reference has no test suite (SURVEY.md §4); its QA is end-to-end TUM
+evaluation. Since raw TUM data may not be present, this module provides a
+deterministic, analytically-ground-truthed RGB-D world: textured rectangles in
+3-D (walls / floor / boxes) rendered by vectorized ray-rectangle intersection,
+plus an optional moving rectangle that produces a known dynamic-region mask.
+Used by unit tests (flow, clustering, masking), the end-to-end ATE regression
+test, and ``bench.py`` when no dataset directory is supplied.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+@dataclass
+class TexturedRect:
+    """A 3-D rectangle: origin corner + two edge vectors, with a noise texture."""
+
+    origin: np.ndarray   # (3,)
+    eu: np.ndarray       # (3,) edge along texture-u
+    ev: np.ndarray       # (3,) edge along texture-v
+    texture: np.ndarray  # (Tv, Tu, 3) float in [0, 1]
+    dynamic: bool = False
+
+
+def _noise_texture(rng: np.random.Generator, size: int = 256, octaves: int = 4,
+                   base_color: Optional[np.ndarray] = None) -> np.ndarray:
+    """Multi-octave value noise + checker: dense gradients and strong corners."""
+    tex = np.zeros((size, size), dtype=np.float64)
+    for o in range(octaves):
+        n = 4 * (2 ** o)
+        coarse = rng.uniform(0, 1, (n + 1, n + 1))
+        # bilinear upsample to `size`
+        ys = np.linspace(0, n, size)
+        xs = np.linspace(0, n, size)
+        y0 = np.clip(ys.astype(int), 0, n - 1)
+        x0 = np.clip(xs.astype(int), 0, n - 1)
+        fy = (ys - y0)[:, None]
+        fx = (xs - x0)[None, :]
+        c00 = coarse[np.ix_(y0, x0)]
+        c01 = coarse[np.ix_(y0, x0 + 1)]
+        c10 = coarse[np.ix_(y0 + 1, x0)]
+        c11 = coarse[np.ix_(y0 + 1, x0 + 1)]
+        tex += (c00 * (1 - fy) * (1 - fx) + c01 * (1 - fy) * fx
+                + c10 * fy * (1 - fx) + c11 * fy * fx) / (2 ** o)
+    tex = (tex - tex.min()) / (tex.max() - tex.min() + 1e-9)
+    # checker overlay for unambiguous corners
+    yy, xx = np.mgrid[0:size, 0:size]
+    checker = (((yy // 16) + (xx // 16)) % 2).astype(np.float64)
+    tex = 0.7 * tex + 0.3 * checker
+    if base_color is None:
+        base_color = rng.uniform(0.3, 1.0, 3)
+    return np.clip(tex[..., None] * base_color[None, None, :], 0, 1)
+
+
+@dataclass
+class SyntheticScene:
+    rects: List[TexturedRect] = field(default_factory=list)
+    fx: float = 535.4
+    fy: float = 539.2
+    cx: float = 319.5
+    cy: float = 239.5
+    width: int = 640
+    height: int = 480
+
+    def render(self, T_wc: np.ndarray, dyn_offset: np.ndarray | None = None
+               ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Render from camera-to-world pose ``T_wc``.
+
+        Returns (rgb uint8 (H, W, 3), depth float32 metres (H, W),
+        dynamic ground-truth mask bool (H, W)). ``dyn_offset`` translates all
+        rects flagged dynamic (world frame) for this frame.
+        """
+        H, W = self.height, self.width
+        R, t = T_wc[:3, :3], T_wc[:3, 3]
+        us, vs = np.meshgrid(np.arange(W, dtype=np.float64),
+                             np.arange(H, dtype=np.float64))
+        dirs_cam = np.stack([(us - self.cx) / self.fx,
+                             (vs - self.cy) / self.fy,
+                             np.ones_like(us)], axis=-1)        # (H, W, 3)
+        dirs = dirs_cam @ R.T                                    # world rays
+        origin = t
+
+        best_t = np.full((H, W), np.inf)
+        rgb = np.zeros((H, W, 3))
+        dyn = np.zeros((H, W), dtype=bool)
+
+        for rect in self.rects:
+            ro = rect.origin.copy()
+            if rect.dynamic and dyn_offset is not None:
+                ro = ro + dyn_offset
+            n = np.cross(rect.eu, rect.ev)
+            denom = dirs @ n                                     # (H, W)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t_hit = ((ro - origin) @ n) / denom
+            p = origin + dirs * t_hit[..., None]
+            d = p - ro
+            lu2 = rect.eu @ rect.eu
+            lv2 = rect.ev @ rect.ev
+            a = (d @ rect.eu) / lu2
+            b = (d @ rect.ev) / lv2
+            hit = (np.abs(denom) > 1e-9) & (t_hit > 0.05) & \
+                  (a >= 0) & (a <= 1) & (b >= 0) & (b <= 1) & (t_hit < best_t)
+            if not hit.any():
+                continue
+            Tv, Tu = rect.texture.shape[:2]
+            ti = np.clip((b * (Tv - 1)).astype(int), 0, Tv - 1)
+            tj = np.clip((a * (Tu - 1)).astype(int), 0, Tu - 1)
+            col = rect.texture[ti, tj]
+            rgb = np.where(hit[..., None], col, rgb)
+            dyn = np.where(hit, rect.dynamic, dyn)
+            best_t = np.where(hit, t_hit, best_t)
+
+        # depth = z-coordinate in camera frame (perspective depth)
+        p_world = origin + dirs * np.where(np.isfinite(best_t), best_t, 0.0)[..., None]
+        p_cam = (p_world - t) @ R
+        depth = np.where(np.isfinite(best_t), p_cam[..., 2], 0.0).astype(np.float32)
+        rgb_u8 = (np.clip(rgb, 0, 1) * 255).astype(np.uint8)
+        return rgb_u8, depth, dyn
+
+
+def make_default_scene(seed: int = 0, with_dynamic: bool = True) -> SyntheticScene:
+    """A room-like scene: back wall, two side walls, floor, two static boxes
+    (front faces at distinct depths for clustering), one dynamic board."""
+    rng = np.random.default_rng(seed)
+    sc = SyntheticScene()
+
+    def rect(o, eu, ev, dynamic=False, color=None):
+        sc.rects.append(TexturedRect(
+            np.array(o, float), np.array(eu, float), np.array(ev, float),
+            _noise_texture(rng, base_color=None if color is None else np.array(color)),
+            dynamic=dynamic))
+
+    rect([-4, -3, 5.5], [8, 0, 0], [0, 6, 0])                      # back wall z=5.5
+    rect([-4, -3, 0.0], [0, 0, 6], [0, 6, 0])                      # left wall x=-4
+    rect([4, -3, 0.0], [0, 0, 6], [0, 6, 0])                       # right wall x=4
+    rect([-4, 1.6, 0.0], [8, 0, 0], [0, 0, 6])                     # floor y=1.6
+    rect([-1.6, -0.6, 3.2], [1.1, 0, 0], [0, 1.2, 0])              # box A face z=3.2
+    rect([0.7, -0.2, 2.3], [0.9, 0, 0], [0, 0.9, 0])               # box B face z=2.3
+    if with_dynamic:
+        rect([-0.5, -0.9, 1.7], [0.75, 0, 0], [0, 0.75, 0],
+             dynamic=True, color=[0.95, 0.4, 0.3])                 # moving board
+    return sc
+
+
+def make_trajectory(n_frames: int, amplitude: float = 0.25, seed: int = 0
+                    ) -> np.ndarray:
+    """Smooth sinusoidal camera trajectory (like fr3_walking_xyz's handheld
+    motion): returns (N, 4, 4) camera-to-world poses."""
+    poses = np.zeros((n_frames, 4, 4))
+    for i in range(n_frames):
+        s = i / max(n_frames - 1, 1)
+        tx = amplitude * np.sin(2 * np.pi * s)
+        ty = 0.4 * amplitude * np.sin(4 * np.pi * s + 0.7)
+        tz = 0.5 * amplitude * np.sin(2 * np.pi * s + 1.3)
+        yaw = 0.06 * np.sin(2 * np.pi * s + 0.3)
+        pitch = 0.03 * np.sin(4 * np.pi * s + 1.1)
+        cy_, sy = np.cos(yaw), np.sin(yaw)
+        cp, sp = np.cos(pitch), np.sin(pitch)
+        Ry = np.array([[cy_, 0, sy], [0, 1, 0], [-sy, 0, cy_]])
+        Rx = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]])
+        poses[i, :3, :3] = Ry @ Rx
+        poses[i, :3, 3] = [tx, ty, tz]
+        poses[i, 3, 3] = 1.0
+    return poses
+
+
+def dynamic_offsets(n_frames: int, speed: float = 0.035) -> np.ndarray:
+    """World-frame offsets of the dynamic board per frame (lateral sweep)."""
+    out = np.zeros((n_frames, 3))
+    for i in range(n_frames):
+        out[i] = [speed * i - 0.5 * speed * n_frames * (i / max(n_frames - 1, 1)) ** 2,
+                  0.12 * np.sin(0.25 * i), 0.0]
+    return out
+
+
+def generate_sequence(n_frames: int = 12, seed: int = 0, with_dynamic: bool = True,
+                      amplitude: float = 0.25):
+    """Convenience: yields (rgb, depth, gt_dyn_mask, T_wc, timestamp)."""
+    scene = make_default_scene(seed, with_dynamic)
+    poses = make_trajectory(n_frames, amplitude, seed)
+    offs = dynamic_offsets(n_frames)
+    for i in range(n_frames):
+        rgb, depth, dyn = scene.render(poses[i], offs[i] if with_dynamic else None)
+        yield rgb, depth, dyn, poses[i], i / 30.0

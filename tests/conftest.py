@@ -1,0 +1,42 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Must set the XLA flags before jax is imported anywhere, so this file avoids
+importing jax at module scope until after the env is set.
+"""
+
+import os
+
+# NOTE: the axon TPU plugin in this image ignores JAX_PLATFORMS; set
+# JAX_PLATFORM_NAME as well (that one is honored).
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# A pytest plugin may have imported jax before this conftest ran, in which
+# case the env vars above came too late; the config update still works as
+# long as no backend has been initialized yet.
+jax.config.update("jax_platform_name", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+assert jax.default_backend() == "cpu", (
+    "tests must run on the virtual CPU mesh, got " + jax.default_backend()
+)
+
+
+@pytest.fixture(scope="session")
+def synthetic_frames():
+    """A short deterministic synthetic RGB-D sequence shared across tests."""
+    from sindslam_tpu.datasets.synthetic import generate_sequence
+
+    return list(generate_sequence(n_frames=8, seed=0, with_dynamic=True))
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)
