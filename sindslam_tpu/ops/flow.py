@@ -1,0 +1,260 @@
+"""Variational dense optical flow (Brox-2004 class) for TPU.
+
+Parity target: the reference's hottest kernel, ``cv::cuda::BroxOpticalFlow
+(alpha=0.197, gamma=50, scale=0.8, 10 inner, 77 outer, 10 solver iters)`` plus
+``cv::VariationalRefinement``, run at 0.6x scale (reference
+``ORB_SLAM2/src/DynaDetect.cc:1028-1147``). This is a brand-new TPU-first
+implementation, not a port: the whole coarse-to-fine solve is one jitted XLA
+graph with static level shapes, and the red-black SOR relaxation is expressed
+as checkerboard-masked vector updates (VPU-friendly; a Pallas kernel that keeps
+a level's fields resident in VMEM across sweeps lives in
+``sindslam_tpu.ops.pallas_kernels`` and is dispatched to on TPU).
+
+Energy (Brox et al., ECCV 2004):
+  E(w) = integral psi(|I2(x+w)-I1(x)|^2) + gamma*psi(|grad I2(x+w)-grad I1(x)|^2)
+         + alpha*psi(|grad u|^2+|grad v|^2),   psi(s) = sqrt(s + eps^2)
+
+Solved coarse-to-fine; at each level, outer iterations lag the nonlinearity
+(psi' weights) and an inner red-black SOR solves the linear system for the
+flow increment (du, dv).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from sindslam_tpu.config import FlowConfig
+from sindslam_tpu.ops import image as im
+
+_EPS2 = 1e-6
+
+
+def _psi_deriv(s2: jnp.ndarray) -> jnp.ndarray:
+    """psi'(s^2) = 1 / (2 sqrt(s^2 + eps^2)); the constant 2 is absorbed."""
+    return lax.rsqrt(s2 + _EPS2)
+
+
+def _grad(img: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    return im.image_gradients(img)
+
+
+def _neighbor_sums(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(up, down, left, right) neighbor values with replicate borders."""
+    p = jnp.pad(x, 1, mode="edge")
+    h, w = x.shape
+    return p[0:h, 1:w + 1], p[2:h + 2, 1:w + 1], p[1:h + 1, 0:w], p[1:h + 1, 2:w + 2]
+
+
+def _edge_weights(psi_s: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
+    """Per-direction diffusion weights: average of psi'_s at the two endpoints,
+    zeroed across the image border (Neumann)."""
+    h, w = psi_s.shape
+    up, down, left, right = _neighbor_sums(psi_s)
+    w_up = 0.5 * (psi_s + up)
+    w_down = 0.5 * (psi_s + down)
+    w_left = 0.5 * (psi_s + left)
+    w_right = 0.5 * (psi_s + right)
+    row = jnp.arange(h)[:, None]
+    col = jnp.arange(w)[None, :]
+    w_up = jnp.where(row > 0, w_up, 0.0)
+    w_down = jnp.where(row < h - 1, w_down, 0.0)
+    w_left = jnp.where(col > 0, w_left, 0.0)
+    w_right = jnp.where(col < w - 1, w_right, 0.0)
+    return w_up, w_down, w_left, w_right
+
+
+def _checkerboard(shape: Tuple[int, int]) -> jnp.ndarray:
+    r = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    return ((r + c) % 2) == 0
+
+
+def sor_solve_jax(
+    du: jnp.ndarray, dv: jnp.ndarray,
+    a11: jnp.ndarray, a12: jnp.ndarray, a22: jnp.ndarray,
+    b_u: jnp.ndarray, b_v: jnp.ndarray,
+    weights: Tuple[jnp.ndarray, ...],
+    u: jnp.ndarray, v: jnp.ndarray,
+    alpha: float, omega: float, n_sweeps: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Red-black SOR for the coupled 2x2-per-pixel linear system.
+
+    Update (both colors, one sweep each):
+      du_i <- (1-w) du_i + w * (b_u - a12*dv_i + alpha * S_u) / (a11 + alpha*W)
+    where S_u = sum_j w_ij (u_j - u_i + du_j), W = sum_j w_ij.
+    """
+    w_up, w_down, w_left, w_right = weights
+    wsum = w_up + w_down + w_left + w_right
+    red = _checkerboard(du.shape)
+
+    denom_u = a11 + alpha * wsum + 1e-12
+    denom_v = a22 + alpha * wsum + 1e-12
+
+    def neighbor_term(field, dfield):
+        nu_up, nu_down, nu_left, nu_right = _neighbor_sums(field + dfield)
+        s = (w_up * nu_up + w_down * nu_down + w_left * nu_left + w_right * nu_right)
+        return s - wsum * field
+
+    def color_update(du, dv, mask):
+        su = neighbor_term(u, du)
+        sv = neighbor_term(v, dv)
+        new_du = (b_u - a12 * dv + alpha * su) / denom_u
+        new_dv = (b_v - a12 * new_du + alpha * sv) / denom_v
+        du = jnp.where(mask, (1 - omega) * du + omega * new_du, du)
+        dv = jnp.where(mask, (1 - omega) * dv + omega * new_dv, dv)
+        return du, dv
+
+    def sweep(carry, _):
+        du, dv = carry
+        du, dv = color_update(du, dv, red)
+        du, dv = color_update(du, dv, ~red)
+        return (du, dv), None
+
+    (du, dv), _ = lax.scan(sweep, (du, dv), None, length=n_sweeps)
+    return du, dv
+
+
+def _level_solve(
+    i1: jnp.ndarray, i2: jnp.ndarray,
+    u: jnp.ndarray, v: jnp.ndarray,
+    cfg: FlowConfig,
+    sor_solver=sor_solve_jax,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Solve one pyramid level: warp, linearize, SOR; repeat outer times."""
+    i1x, i1y = _grad(i1)
+
+    def outer_step(carry, _):
+        u, v = carry
+        # warp I2 (and its gradients) by the current flow
+        i2w, inb = im.warp_by_flow(i2, u, v)
+        i2x_full, i2y_full = _grad(i2)
+        i2wx, _ = im.warp_by_flow(i2x_full, u, v)
+        i2wy, _ = im.warp_by_flow(i2y_full, u, v)
+        inbf = inb.astype(jnp.float32)
+
+        iz = (i2w - i1) * inbf
+        ix = 0.5 * (i2wx + i1x)
+        iy = 0.5 * (i2wy + i1y)
+        ixx, ixy1 = _grad(ix)
+        ixy2, iyy = _grad(iy)
+        ixy = 0.5 * (ixy1 + ixy2)
+        ixz, _unused = _grad(iz)
+        _unused2, iyz = _grad(iz)
+
+        du = jnp.zeros_like(u)
+        dv = jnp.zeros_like(v)
+
+        def inner_step(carry, _):
+            du, dv = carry
+            # lagged data weights
+            r_data = iz + ix * du + iy * dv
+            psi_d = _psi_deriv(r_data * r_data)
+            gx = ixz + ixx * du + ixy * dv
+            gy = iyz + ixy * du + iyy * dv
+            psi_g = _psi_deriv(gx * gx + gy * gy) * cfg.gamma
+            # lagged smoothness weights on total flow
+            ux, uy = _grad(u + du)
+            vx, vy = _grad(v + dv)
+            psi_s = _psi_deriv(ux * ux + uy * uy + vx * vx + vy * vy)
+            weights = _edge_weights(psi_s)
+
+            a11 = psi_d * ix * ix + psi_g * (ixx * ixx + ixy * ixy)
+            a12 = psi_d * ix * iy + psi_g * (ixx * ixy + ixy * iyy)
+            a22 = psi_d * iy * iy + psi_g * (ixy * ixy + iyy * iyy)
+            b_u = -(psi_d * ix * iz + psi_g * (ixx * ixz + ixy * iyz))
+            b_v = -(psi_d * iy * iz + psi_g * (ixy * ixz + iyy * iyz))
+
+            du, dv = sor_solver(du, dv, a11, a12, a22, b_u, b_v, weights,
+                                u, v, cfg.alpha, cfg.sor_omega,
+                                cfg.solver_iterations)
+            return (du, dv), None
+
+        (du, dv), _ = lax.scan(inner_step, (du, dv), None, length=cfg.inner_iterations)
+        # The linearization is only valid for small increments: clamp, then
+        # median-filter the updated flow (Sun et al. 2010's stabilizer; kills
+        # the isolated outliers that otherwise feed back through the warp).
+        du = jnp.clip(du, -1.5, 1.5)
+        dv = jnp.clip(dv, -1.5, 1.5)
+        u_new = im.median_filter(u + du, 3)
+        v_new = im.median_filter(v + dv, 3)
+        return (u_new, v_new), None
+
+    (u, v), _ = lax.scan(outer_step, (u, v), None, length=cfg.outer_iterations)
+    return u, v
+
+
+def pyramid_shapes(h: int, w: int, scale: float, n_levels: int,
+                   min_size: int = 16) -> List[Tuple[int, int]]:
+    """Static list of (h, w) per level, finest first."""
+    shapes = [(h, w)]
+    for _ in range(1, n_levels):
+        nh = int(round(shapes[-1][0] * scale))
+        nw = int(round(shapes[-1][1] * scale))
+        if min(nh, nw) < min_size or (nh, nw) == shapes[-1]:
+            break
+        shapes.append((nh, nw))
+    return shapes
+
+
+def variational_flow(
+    img1_gray: jnp.ndarray, img2_gray: jnp.ndarray, cfg: FlowConfig,
+    sor_solver=sor_solve_jax,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dense flow img1 -> img2 on (H, W) grayscale in [0, 255].
+
+    Returns (u, v) at the input resolution. The full coarse-to-fine solve is
+    one statically-shaped XLA graph (jit this function).
+    """
+    h, w = img1_gray.shape
+    i1 = img1_gray.astype(jnp.float32) / 255.0
+    i2 = img2_gray.astype(jnp.float32) / 255.0
+    # slight presmoothing, as Brox prescribes (sigma ~0.8)
+    i1 = im.gaussian_blur(i1, 5, 0.8)
+    i2 = im.gaussian_blur(i2, 5, 0.8)
+
+    shapes = pyramid_shapes(h, w, cfg.pyramid_scale, cfg.n_levels)
+    pyr1 = [i1]
+    pyr2 = [i2]
+    for (nh, nw) in shapes[1:]:
+        pyr1.append(im.resize_bilinear(im.gaussian_blur(pyr1[-1], 5, 0.8), (nh, nw)))
+        pyr2.append(im.resize_bilinear(im.gaussian_blur(pyr2[-1], 5, 0.8), (nh, nw)))
+
+    ch, cw = shapes[-1]
+    u = jnp.zeros((ch, cw), jnp.float32)
+    v = jnp.zeros((ch, cw), jnp.float32)
+    for li in range(len(shapes) - 1, -1, -1):
+        lh, lw = shapes[li]
+        if (u.shape[0], u.shape[1]) != (lh, lw):
+            su = lw / u.shape[1]
+            sv = lh / u.shape[0]
+            u = im.resize_bilinear(u, (lh, lw)) * su
+            v = im.resize_bilinear(v, (lh, lw)) * sv
+        u, v = _level_solve(pyr1[li], pyr2[li], u, v, cfg, sor_solver)
+    return u, v
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def variational_flow_jit(img1_gray, img2_gray, cfg: FlowConfig):
+    return variational_flow(img1_gray, img2_gray, cfg)
+
+
+def flow_at_working_scale(
+    rgb1_gray_full: jnp.ndarray, rgb2_gray_full: jnp.ndarray, cfg: FlowConfig,
+    sor_solver=sor_solve_jax,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Reference pipeline shape: compute flow at the 0.6x working canvas and
+    upsample back to full resolution with magnitude rescale
+    (``src/DynaDetect.cc:1033-1039,1144-1147``)."""
+    H, W = rgb1_gray_full.shape
+    wh, ww = cfg.working_height, cfg.working_width
+    g1 = im.resize_bilinear(rgb1_gray_full, (wh, ww))
+    g2 = im.resize_bilinear(rgb2_gray_full, (wh, ww))
+    u, v = variational_flow(g1, g2, cfg, sor_solver)
+    u_full = im.resize_bilinear(u, (H, W)) * (W / ww)
+    v_full = im.resize_bilinear(v, (H, W)) * (H / wh)
+    return u_full, v_full

@@ -1,0 +1,327 @@
+"""Core dense image operations as statically-shaped JAX/XLA ops.
+
+These replace the OpenCV primitives the reference leans on throughout
+DynaDetect and ORBextractor (``cv::GaussianBlur``, ``cv::medianBlur``,
+``cv::dilate``/``erode``, ``cv::resize``, ``cv::remap``/warping, Scharr/Sobel
+gradients). Everything is pure, jit-friendly, and fuses into the surrounding
+XLA graph; image layout is (H, W) or (H, W, C) float32 unless noted.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def rgb_to_gray(rgb: jnp.ndarray) -> jnp.ndarray:
+    """uint8/float (H, W, 3) RGB -> float32 (H, W) grayscale in [0, 255].
+
+    Uses the BT.601 weights OpenCV's ``cvtColor(RGB2GRAY)`` uses, so flow /
+    FAST operate on the same intensities as the reference.
+    """
+    rgb = rgb.astype(jnp.float32)
+    return rgb[..., 0] * 0.299 + rgb[..., 1] * 0.587 + rgb[..., 2] * 0.114
+
+
+def _gaussian_kernel1d(sigma: float, ksize: int) -> jnp.ndarray:
+    if sigma <= 0:
+        # OpenCV convention: sigma from ksize
+        sigma = 0.3 * ((ksize - 1) * 0.5 - 1) + 0.8
+    x = jnp.arange(ksize, dtype=jnp.float32) - (ksize - 1) / 2.0
+    k = jnp.exp(-(x * x) / (2.0 * sigma * sigma))
+    return k / jnp.sum(k)
+
+
+def _sep_conv2d(img: jnp.ndarray, ky: jnp.ndarray, kx: jnp.ndarray) -> jnp.ndarray:
+    """Separable 2-D convolution with replicate padding on an (H, W) image."""
+    ry = ky.shape[0] // 2
+    rx = kx.shape[0] // 2
+    x = jnp.pad(img, ((ry, ry), (rx, rx)), mode="edge")
+    x = x[None, None]  # NCHW
+    ky4 = ky.reshape(1, 1, -1, 1)
+    kx4 = kx.reshape(1, 1, 1, -1)
+    x = lax.conv_general_dilated(x, ky4, (1, 1), "VALID")
+    x = lax.conv_general_dilated(x, kx4, (1, 1), "VALID")
+    return x[0, 0]
+
+
+def gaussian_blur(img: jnp.ndarray, ksize: int = 7, sigma: float = 0.0) -> jnp.ndarray:
+    """Separable Gaussian blur with replicate borders, (H, W) or (H, W, C)."""
+    k = _gaussian_kernel1d(sigma, ksize)
+    if img.ndim == 3:
+        return jnp.stack([_sep_conv2d(img[..., c], k, k) for c in range(img.shape[-1])], axis=-1)
+    return _sep_conv2d(img, k, k)
+
+
+def box_filter(img: jnp.ndarray, ksize: int) -> jnp.ndarray:
+    """Normalized box filter (mean) with replicate borders."""
+    k = jnp.full((ksize,), 1.0 / ksize, dtype=jnp.float32)
+    return _sep_conv2d(img, k, k)
+
+
+def resize_bilinear(img: jnp.ndarray, shape: Tuple[int, int]) -> jnp.ndarray:
+    """Bilinear resize to (H', W'); channels preserved."""
+    out_shape = shape + img.shape[2:]
+    return jax.image.resize(img.astype(jnp.float32), out_shape, method="linear")
+
+
+def resize_area(img: jnp.ndarray, shape: Tuple[int, int]) -> jnp.ndarray:
+    """Area-averaging downsample (cv::INTER_AREA-like) — best for pyramids."""
+    h, w = img.shape[:2]
+    nh, nw = shape
+    if h % nh == 0 and w % nw == 0:
+        fy, fx = h // nh, w // nw
+        x = img.reshape((nh, fy, nw, fx) + img.shape[2:])
+        return x.mean(axis=(1, 3))
+    return jax.image.resize(img.astype(jnp.float32), shape + img.shape[2:], method="linear")
+
+
+def warp_bilinear(img: jnp.ndarray, coords_y: jnp.ndarray, coords_x: jnp.ndarray,
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sample ``img`` (H, W) at float coords; returns (samples, in-bounds mask).
+
+    Out-of-bounds coordinates are clamped (samples stay finite); the mask marks
+    pixels whose *unclamped* sample window was fully inside. This is the warp
+    used by the variational-flow solver (image2 warped by current flow) and by
+    reprojection checks.
+    """
+    h, w = img.shape[:2]
+    inb = (coords_y >= 0) & (coords_y <= h - 1) & (coords_x >= 0) & (coords_x <= w - 1)
+    cy = jnp.clip(coords_y, 0.0, h - 1.0)
+    cx = jnp.clip(coords_x, 0.0, w - 1.0)
+    y0 = jnp.floor(cy).astype(jnp.int32)
+    x0 = jnp.floor(cx).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    fy = cy - y0.astype(cy.dtype)
+    fx = cx - x0.astype(cx.dtype)
+
+    flat = img.reshape(h * w, *img.shape[2:])
+
+    def g(yy, xx):
+        return jnp.take(flat, yy * w + xx, axis=0)
+
+    v00 = g(y0, x0)
+    v01 = g(y0, x1)
+    v10 = g(y1, x0)
+    v11 = g(y1, x1)
+    if img.ndim == 3:
+        fy = fy[..., None]
+        fx = fx[..., None]
+    out = (v00 * (1 - fy) * (1 - fx) + v01 * (1 - fy) * fx
+           + v10 * fy * (1 - fx) + v11 * fy * fx)
+    return out, inb
+
+
+def warp_by_flow(img: jnp.ndarray, flow_u: jnp.ndarray, flow_v: jnp.ndarray
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Backward-warp: sample img at (y + v, x + u)."""
+    h, w = img.shape[:2]
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+    return warp_bilinear(img, ys + flow_v, xs + flow_u)
+
+
+def median_filter(img: jnp.ndarray, ksize: int = 5) -> jnp.ndarray:
+    """ksize x ksize median with replicate borders (cv::medianBlur parity on
+    interior pixels). Implemented as a stack of shifted copies + jnp.median —
+    a sort of k^2 lanes per pixel, fully vectorized on the VPU."""
+    r = ksize // 2
+    p = jnp.pad(img, ((r, r), (r, r)), mode="edge")
+    h, w = img.shape
+    stack = jnp.stack(
+        [p[dy:dy + h, dx:dx + w] for dy in range(ksize) for dx in range(ksize)],
+        axis=-1,
+    )
+    return jnp.median(stack, axis=-1)
+
+
+def _window_reduce(img: jnp.ndarray, ksize: int, init, op) -> jnp.ndarray:
+    r = ksize // 2
+    return lax.reduce_window(
+        img, init, op, (ksize, ksize), (1, 1), [(r, r), (r, r)]
+    )
+
+
+def dilate(img: jnp.ndarray, ksize: int = 3, iterations: int = 1) -> jnp.ndarray:
+    """Grayscale/binary dilation with a square structuring element."""
+    out = img
+    for _ in range(iterations):
+        out = _window_reduce(out, ksize, -jnp.inf if img.dtype.kind == "f" else jnp.iinfo(img.dtype).min, lax.max)
+    return out
+
+
+def erode(img: jnp.ndarray, ksize: int = 3, iterations: int = 1) -> jnp.ndarray:
+    out = img
+    for _ in range(iterations):
+        out = _window_reduce(out, ksize, jnp.inf if img.dtype.kind == "f" else jnp.iinfo(img.dtype).max, lax.min)
+    return out
+
+
+def dilate_ellipse(img: jnp.ndarray, ksize: int, iterations: int = 1) -> jnp.ndarray:
+    """Dilation with an elliptical (disc) structuring element, matching the
+    driver's ``cv::dilate(..., MORPH_ELLIPSE 15x15)``
+    (reference ``rgbd_tum_noros.cc:108,138``). Implemented as a conv with the
+    disc mask > 0 test (binary inputs) / max-plus via masked max."""
+    r = ksize // 2
+    ys = jnp.arange(ksize, dtype=jnp.float32)[:, None] - r
+    xs = jnp.arange(ksize, dtype=jnp.float32)[None, :] - r
+    disc = ((ys / (r + 0.5)) ** 2 + (xs / (r + 0.5)) ** 2 <= 1.0).astype(jnp.float32)
+    x = img.astype(jnp.float32)
+    for _ in range(iterations):
+        p = jnp.pad(x, ((r, r), (r, r)), mode="constant", constant_values=-jnp.inf)
+        # max over disc support: implemented via reduce_window on masked shifts
+        h, w = img.shape
+        stack = jnp.stack(
+            [jnp.where(disc[dy, dx] > 0, p[dy:dy + h, dx:dx + w], -jnp.inf)
+             for dy in range(ksize) for dx in range(ksize)],
+            axis=-1,
+        )
+        x = jnp.max(stack, axis=-1)
+    return x.astype(img.dtype)
+
+
+def morph_open(img: jnp.ndarray, ksize: int = 3) -> jnp.ndarray:
+    return dilate(erode(img, ksize), ksize)
+
+
+def morph_close(img: jnp.ndarray, ksize: int = 3) -> jnp.ndarray:
+    return erode(dilate(img, ksize), ksize)
+
+
+def local_max_abs_diff(img: jnp.ndarray, ksize: int = 5) -> jnp.ndarray:
+    """Max over the window of |center - neighbor| — the depth 'occlusion edge'
+    statistic of the reference (``src/DynaDetect.cc:436-482``)."""
+    mx = _window_reduce(img, ksize, -jnp.inf, lax.max)
+    mn = _window_reduce(img, ksize, jnp.inf, lax.min)
+    return jnp.maximum(mx - img, img - mn)
+
+
+def image_gradients(img: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Central-difference gradients (dx, dy) with replicate borders — the
+    5-point stencil used by variational flow solvers."""
+    p = jnp.pad(img, 1, mode="edge")
+    h, w = img.shape
+    dx = (p[1:h + 1, 2:] - p[1:h + 1, :w]) * 0.5
+    dy = (p[2:, 1:w + 1] - p[:h, 1:w + 1]) * 0.5
+    return dx, dy
+
+
+def sobel(img: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """3x3 Sobel gradients (dx, dy), replicate borders."""
+    smooth = jnp.array([1.0, 2.0, 1.0], dtype=jnp.float32)
+    diff = jnp.array([-1.0, 0.0, 1.0], dtype=jnp.float32)
+    return _sep_conv2d(img, smooth, diff), _sep_conv2d(img, diff, smooth)
+
+
+def build_pyramid(img: jnp.ndarray, n_levels: int, scale: float = 0.5,
+                  min_size: int = 16) -> list:
+    """Image pyramid by repeated blur+resize. Level 0 is the input. The list
+    length is static (Python int), so the XLA graph is fixed."""
+    levels = [img]
+    h, w = img.shape[:2]
+    for _ in range(1, n_levels):
+        nh, nw = max(int(round(h * scale)), min_size), max(int(round(w * scale)), min_size)
+        if nh == h and nw == w:
+            break
+        blurred = gaussian_blur(levels[-1], ksize=5, sigma=0.8 / scale)
+        levels.append(resize_bilinear(blurred, (nh, nw)))
+        h, w = nh, nw
+        if min(h, w) <= min_size:
+            break
+    return levels
+
+
+def histogram_fixed(values: jnp.ndarray, n_bins: int, vmin: float, vmax: float,
+                    weights: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Fixed-range histogram as a one-hot matmul-free segment sum (TPU-friendly
+    scatter-add). ``values`` any shape; returns (n_bins,) float32."""
+    v = jnp.clip((values - vmin) / (vmax - vmin), 0.0, 1.0 - 1e-7)
+    idx = (v * n_bins).astype(jnp.int32).reshape(-1)
+    w = jnp.ones_like(idx, dtype=jnp.float32) if weights is None else weights.reshape(-1).astype(jnp.float32)
+    return jax.ops.segment_sum(w, idx, num_segments=n_bins)
+
+
+def otsu_threshold(hist: jnp.ndarray) -> jnp.ndarray:
+    """Otsu's threshold (bin index, float) from a histogram — replaces
+    ``cv::threshold(..., THRESH_OTSU)`` (reference ``src/DynaDetect.cc:1284``)."""
+    hist = hist.astype(jnp.float32)
+    total = jnp.sum(hist) + 1e-12
+    p = hist / total
+    bins = jnp.arange(hist.shape[0], dtype=jnp.float32)
+    omega = jnp.cumsum(p)
+    mu = jnp.cumsum(p * bins)
+    mu_t = mu[-1]
+    denom = omega * (1.0 - omega)
+    sigma_b = jnp.where(denom > 1e-12, (mu_t * omega - mu) ** 2 / jnp.maximum(denom, 1e-12), 0.0)
+    return jnp.argmax(sigma_b).astype(jnp.float32)
+
+
+def triangle_threshold(hist: jnp.ndarray) -> jnp.ndarray:
+    """Triangle-method threshold (bin index, float) — replaces
+    ``cv::threshold(..., THRESH_TRIANGLE)`` (reference ``src/DynaDetect.cc:1285``).
+
+    Finds the bin maximizing distance from the line between the histogram peak
+    and the far non-empty end. Implemented branch-free over the fixed bin axis.
+    """
+    hist = hist.astype(jnp.float32)
+    n = hist.shape[0]
+    bins = jnp.arange(n, dtype=jnp.float32)
+    peak = jnp.argmax(hist).astype(jnp.float32)
+    hpeak = jnp.max(hist)
+    nz = hist > 0
+    first = jnp.min(jnp.where(nz, bins, jnp.float32(n)))
+    last = jnp.max(jnp.where(nz, bins, jnp.float32(-1)))
+    # choose the longer tail side (OpenCV flips so the tail is to the right)
+    right_len = last - peak
+    left_len = peak - first
+    use_right = right_len >= left_len
+    end = jnp.where(use_right, last, first)
+    # line from (peak, hpeak) to (end, 0); distance of (b, hist[b]) to it
+    dx = end - peak
+    dy = -hpeak
+    norm = jnp.sqrt(dx * dx + dy * dy) + 1e-12
+    # only bins strictly between peak and end count
+    between = jnp.where(use_right, (bins > peak) & (bins < end), (bins < peak) & (bins > first - 1) & (bins > end))
+    dist = jnp.abs(dy * (bins - peak) - dx * (hist - hpeak)) / norm
+    dist = jnp.where(between & nz, dist, -1.0)
+    return jnp.argmax(dist).astype(jnp.float32)
+
+
+def connected_relabel(mask: jnp.ndarray, n_iters: int = 64) -> jnp.ndarray:
+    """Connected components by iterative min-label propagation on a binary
+    mask (4-connectivity). Returns an int32 image where each component carries
+    the minimum linear index of its pixels + 1; background = 0.
+
+    Fixed iteration count (static for XLA). Each iteration does one
+    neighbor-min sweep followed by a pointer-jumping hop (label chases the
+    label of the pixel it points at), giving near-logarithmic convergence, so
+    n_iters=64 covers any component in a 640x480 image with a wide margin.
+    Replaces ``cv::findContours`` / flood-fill style component logic for the
+    fixed-shape TPU pipeline.
+    """
+    h, w = mask.shape
+    big = jnp.iinfo(jnp.int32).max
+    idx = (jnp.arange(h * w, dtype=jnp.int32) + 1).reshape(h, w)
+    labels = jnp.where(mask, idx, 0)
+
+    def step(labels, _):
+        p = jnp.pad(labels, 1, mode="constant", constant_values=0)
+        neigh = jnp.stack([
+            p[0:h, 1:w + 1], p[2:h + 2, 1:w + 1], p[1:h + 1, 0:w], p[1:h + 1, 2:w + 2],
+        ])
+        neigh = jnp.where(neigh > 0, neigh, big)
+        best = jnp.minimum(jnp.min(neigh, axis=0), jnp.where(labels > 0, labels, big))
+        best = jnp.where(mask, best, 0)
+        # pointer jumping: adopt the current label of the pixel we point at
+        jumped = jnp.take(best.reshape(-1), jnp.maximum(best - 1, 0).reshape(-1)).reshape(h, w)
+        best = jnp.where((best > 0) & (jumped > 0), jnp.minimum(best, jumped), best)
+        return best, None
+
+    labels, _ = lax.scan(step, labels, None, length=n_iters)
+    return labels

@@ -1,0 +1,112 @@
+"""Tests for the variational optical-flow solver.
+
+Ground-truth flows come from analytic warps of a textured synthetic image, so
+endpoint error (EPE) is measured exactly.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sindslam_tpu.config import FlowConfig
+from sindslam_tpu.ops import flow as F
+from sindslam_tpu.ops import image as im
+
+
+def _textured(h=96, w=128, seed=0):
+    rng = np.random.default_rng(seed)
+    base = rng.uniform(0, 255, (h // 4, w // 4)).astype(np.float32)
+    img = np.asarray(im.resize_bilinear(jnp.asarray(base), (h, w)))
+    fine = rng.uniform(-20, 20, (h, w)).astype(np.float32)
+    return np.clip(img + fine * 0.5, 0, 255)
+
+
+def _shift_image(img, dx, dy):
+    """Subpixel shift by bilinear sampling: out(x) = img(x - d) so the flow
+    img->out equals (dx, dy)."""
+    h, w = img.shape
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None] - dy
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :] - dx
+    out, _ = im.warp_bilinear(jnp.asarray(img), ys + jnp.zeros((h, w)), xs + jnp.zeros((h, w)))
+    return np.asarray(out)
+
+
+TEST_CFG = FlowConfig(
+    alpha=0.197, gamma=50.0, pyramid_scale=0.8, n_levels=6,
+    outer_iterations=10, inner_iterations=3, solver_iterations=8,
+)
+
+
+def _epe(u, v, gt_u, gt_v, margin=8):
+    du = np.asarray(u)[margin:-margin, margin:-margin] - gt_u
+    dv = np.asarray(v)[margin:-margin, margin:-margin] - gt_v
+    return float(np.sqrt(du ** 2 + dv ** 2).mean())
+
+
+def test_flow_zero_on_identical():
+    img = _textured()
+    u, v = F.variational_flow(jnp.asarray(img), jnp.asarray(img), TEST_CFG)
+    assert float(jnp.abs(u).max()) < 0.05
+    assert float(jnp.abs(v).max()) < 0.05
+
+
+def test_flow_small_translation():
+    img = _textured()
+    img2 = _shift_image(img, 1.5, -0.75)
+    u, v = F.variational_flow(jnp.asarray(img), jnp.asarray(img2), TEST_CFG)
+    assert _epe(u, v, 1.5, -0.75) < 0.25
+
+
+def test_flow_larger_translation_uses_pyramid():
+    img = _textured(128, 160, seed=1)
+    img2 = _shift_image(img, 6.0, 4.0)
+    u, v = F.variational_flow(jnp.asarray(img), jnp.asarray(img2), TEST_CFG)
+    assert _epe(u, v, 6.0, 4.0) < 0.6
+
+
+def test_flow_detects_independent_motion():
+    """A moving patch inside a still scene must light up only at the patch."""
+    img = _textured(96, 128, seed=2)
+    img2 = img.copy()
+    # move a 24x24 block right by 3 px
+    img2[30:54, 50:74] = img[30:54, 47:71]
+    u, v = F.variational_flow(jnp.asarray(img), jnp.asarray(img2), TEST_CFG)
+    u = np.asarray(u)
+    inside = np.abs(u[36:48, 56:68]).mean()
+    outside = np.abs(np.concatenate([u[:20].ravel(), u[-20:].ravel()])).mean()
+    assert inside > 1.0
+    assert outside < 0.4
+    assert inside > 3 * outside
+
+
+def test_flow_jit_compiles_once():
+    img = _textured(64, 96, seed=3)
+    img2 = _shift_image(img, 1.0, 0.5)
+    cfg = FlowConfig(n_levels=4, outer_iterations=5, inner_iterations=2, solver_iterations=5)
+    f = jax.jit(lambda a, b: F.variational_flow(a, b, cfg))
+    u, v = f(jnp.asarray(img), jnp.asarray(img2))
+    u2, v2 = f(jnp.asarray(img2), jnp.asarray(img))  # reverse, same shapes
+    assert u.shape == (64, 96)
+    # forward and backward flows should be roughly opposite
+    assert float((np.asarray(u)[20:-20, 20:-20] + np.asarray(u2)[20:-20, 20:-20]).mean()) < 0.3
+
+
+def test_pyramid_shapes_static():
+    shapes = F.pyramid_shapes(288, 384, 0.8, 10)
+    assert shapes[0] == (288, 384)
+    assert all(min(s) >= 16 for s in shapes)
+    assert len(shapes) == 10
+    assert shapes[1] == (230, 307)
+
+
+def test_flow_at_working_scale_resolution():
+    img = _textured(120, 160, seed=4)
+    img2 = _shift_image(img, 2.0, 1.0)
+    cfg = FlowConfig(n_levels=4, outer_iterations=6, inner_iterations=2,
+                     solver_iterations=6, working_height=72, working_width=96)
+    u, v = F.flow_at_working_scale(jnp.asarray(img), jnp.asarray(img2), cfg)
+    assert u.shape == (120, 160)
+    # magnitude must be in full-res units despite the 0.6x solve
+    assert abs(float(np.asarray(u)[30:-30, 30:-30].mean()) - 2.0) < 0.5
