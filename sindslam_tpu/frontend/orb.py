@@ -1,0 +1,288 @@
+"""TPU-native ORB feature extraction: pyramid FAST + IC-angle + rotated BRIEF.
+
+Functional re-design of the reference's ``ORBextractor``
+(``ORB_SLAM2/src/ORBextractor.cc``): 8-level x1.2 pyramid (``:1166-1191``),
+FAST-9/16 corners, spatially-spread keypoint selection (cell-capped top-k as
+the statically-shaped substitute for the ``DistributeOctTree`` quadtree,
+``:539``), intensity-centroid orientation (``:108,472``), and 256-bit rotated
+BRIEF descriptors (``:1034``). The dynamic-mask erasure + "<250 survivors ->
+revert" lost-prevention rule (``:1063-1115``) is applied on validity flags.
+
+Everything is fixed shape: each level has a static keypoint quota (the
+ORB-SLAM per-level geometric distribution), invalid slots carry score -inf /
+valid=False. The whole extractor is one jittable function.
+
+NOTE on descriptor pattern: the canonical OpenCV bit pattern is replaced by a
+procedurally generated (fixed-seed) Gaussian pair pattern of the same size
+(256 pairs, patch radius 13). Descriptors are self-consistent within this
+framework (matching, vocabulary, loop closing are all built on it); byte
+compatibility with OpenCV is a non-goal since the reference's DBoW2
+vocabulary blob is not part of the build.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import List, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from sindslam_tpu.config import ORBConfig
+from sindslam_tpu.ops import image as im
+
+# FAST ring: 16 (dy, dx) offsets of the radius-3 Bresenham circle, clockwise.
+_FAST_RING = np.array(
+    [(-3, 0), (-3, 1), (-2, 2), (-1, 3), (0, 3), (1, 3), (2, 2), (3, 1),
+     (3, 0), (3, -1), (2, -2), (1, -3), (0, -3), (-1, -3), (-2, -2), (-3, -1)],
+    dtype=np.int32,
+)
+
+_PATCH_RADIUS = 15      # IC-angle circular patch (HALF_PATCH_SIZE)
+_BRIEF_RADIUS = 13      # descriptor sampling radius (fits in patch under rotation)
+_EDGE_MARGIN = 19       # keep keypoints this far from level borders
+_CELL = 32              # spatial-spread cell size
+_CELL_TOPK = 4          # candidates kept per cell
+
+
+def _brief_pattern(seed: int = 7, n_bits: int = 256) -> np.ndarray:
+    """(n_bits, 4) int8 array of (x1, y1, x2, y2) sample offsets.
+
+    Gaussian-distributed pairs (sigma = radius/2), clipped to the disc of
+    radius _BRIEF_RADIUS; deterministic across runs.
+    """
+    rng = np.random.default_rng(seed)
+    pts = []
+    while len(pts) < n_bits:
+        p = rng.normal(0.0, _BRIEF_RADIUS / 2.0, 4)
+        if (np.hypot(p[0], p[1]) <= _BRIEF_RADIUS and
+                np.hypot(p[2], p[3]) <= _BRIEF_RADIUS):
+            q = np.round(p).astype(np.int8)
+            pts.append(q)
+    return np.stack(pts)
+
+
+_PATTERN = _brief_pattern()
+
+
+class OrbFeatures(NamedTuple):
+    """Fixed-capacity feature set for one image."""
+
+    xy: jnp.ndarray        # (N, 2) float32, full-resolution pixel coords (x, y)
+    level: jnp.ndarray     # (N,) int32 pyramid level
+    angle: jnp.ndarray     # (N,) float32 radians
+    score: jnp.ndarray     # (N,) float32 FAST score
+    desc: jnp.ndarray      # (N, 8) uint32 packed 256-bit descriptors
+    valid: jnp.ndarray     # (N,) bool
+
+    @property
+    def capacity(self) -> int:
+        return self.xy.shape[0]
+
+
+def level_shapes(h: int, w: int, n_levels: int, scale: float) -> List[Tuple[int, int]]:
+    return [(int(round(h / scale ** l)), int(round(w / scale ** l)))
+            for l in range(n_levels)]
+
+
+def level_quotas(n_features: int, n_levels: int, scale: float) -> List[int]:
+    """ORB-SLAM's geometric per-level distribution (ORBextractor.cc ctor)."""
+    inv = 1.0 / scale
+    total = (1.0 - inv ** n_levels) / (1.0 - inv)
+    base = n_features * (1.0 - inv) / (1.0 - inv ** n_levels)
+    quotas = [int(round(base * inv ** l)) for l in range(n_levels)]
+    quotas[-1] = max(n_features - sum(quotas[:-1]), 0)
+    return quotas
+
+
+def fast_score_map(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
+    """FAST-9/16 corner score for every pixel of an (H, W) float image.
+
+    Score = the largest margin t such that 9 contiguous ring pixels are all
+    brighter than center+t (or all darker than center-t); 0 where the corner
+    test fails at ``threshold``. Fully vectorized: 16 shifted copies, run-min
+    over the 9-windows via unrolled minima.
+    """
+    h, w = img.shape
+    pad = 3
+    p = jnp.pad(img, pad, mode="edge")
+    ring = jnp.stack([p[pad + dy:pad + dy + h, pad + dx:pad + dx + w]
+                      for dy, dx in _FAST_RING])           # (16, H, W)
+    diff_b = ring - img[None]                               # brighter margins
+    diff_d = img[None] - ring                               # darker margins
+
+    def run9_max_min(d):
+        # max over the 16 cyclic starts of (min over 9 consecutive margins)
+        d2 = jnp.concatenate([d, d[:8]], axis=0)            # (24, H, W)
+        m = d2[:16]
+        for k in range(1, 9):
+            m = jnp.minimum(m, d2[k:k + 16])
+        return jnp.max(m, axis=0)
+
+    score = jnp.maximum(run9_max_min(diff_b), run9_max_min(diff_d))
+    return jnp.where(score > threshold, score, 0.0)
+
+
+def _nms3(score: jnp.ndarray) -> jnp.ndarray:
+    mx = im.dilate(score, 3)
+    return jnp.where(score >= mx, score, 0.0)
+
+
+def _cell_candidates(score: jnp.ndarray, quota: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Spatially-spread selection: top-_CELL_TOPK per 32x32 cell, then global
+    top-``quota`` by score. Returns ((quota, 2) int32 yx coords, (quota,) score)."""
+    h, w = score.shape
+    ch = -(-h // _CELL)
+    cw = -(-w // _CELL)
+    ph, pw = ch * _CELL, cw * _CELL
+    s = jnp.full((ph, pw), -jnp.inf, score.dtype).at[:h, :w].set(
+        jnp.where(score > 0, score, -jnp.inf))
+    cells = s.reshape(ch, _CELL, cw, _CELL).transpose(0, 2, 1, 3).reshape(ch * cw, _CELL * _CELL)
+    top_s, top_i = lax.top_k(cells, _CELL_TOPK)             # (nc, K)
+    cy = (jnp.arange(ch * cw) // cw)[:, None] * _CELL + top_i // _CELL
+    cx = (jnp.arange(ch * cw) % cw)[:, None] * _CELL + top_i % _CELL
+    cand_s = top_s.reshape(-1)
+    cand_y = cy.reshape(-1)
+    cand_x = cx.reshape(-1)
+    k = min(quota, cand_s.shape[0])
+    best_s, best_i = lax.top_k(cand_s, k)
+    yx = jnp.stack([cand_y[best_i], cand_x[best_i]], axis=-1).astype(jnp.int32)
+    if k < quota:  # pad (tiny levels)
+        yx = jnp.pad(yx, ((0, quota - k), (0, 0)))
+        best_s = jnp.pad(best_s, (0, quota - k), constant_values=-jnp.inf)
+    return yx, best_s
+
+
+def _gather_patches(img: jnp.ndarray, yx: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """(N, 2) int centers -> (N, 2r+1, 2r+1) patches (clamped at borders)."""
+    h, w = img.shape
+    d = jnp.arange(-radius, radius + 1)
+    ys = jnp.clip(yx[:, 0:1, None] + d[None, :, None], 0, h - 1)
+    xs = jnp.clip(yx[:, 1:2, None] + d[None, None, :], 0, w - 1)
+    flat_idx = ys * w + xs                                   # (N, P, P)
+    return jnp.take(img.reshape(-1), flat_idx.reshape(yx.shape[0], -1), axis=0
+                    ).reshape(yx.shape[0], 2 * radius + 1, 2 * radius + 1)
+
+
+def ic_angle(img: jnp.ndarray, yx: jnp.ndarray) -> jnp.ndarray:
+    """Intensity-centroid orientation over the radius-15 disc
+    (reference ``ORBextractor.cc:108`` IC_Angle)."""
+    r = _PATCH_RADIUS
+    patches = _gather_patches(img, yx, r)                    # (N, 31, 31)
+    d = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    disc = (d[:, None] ** 2 + d[None, :] ** 2) <= r * r
+    wy = jnp.where(disc, d[:, None], 0.0)
+    wx = jnp.where(disc, d[None, :], 0.0)
+    m01 = jnp.sum(patches * wy[None], axis=(1, 2))
+    m10 = jnp.sum(patches * wx[None], axis=(1, 2))
+    return jnp.arctan2(m01, m10)
+
+
+def brief_descriptors(img_blur: jnp.ndarray, yx: jnp.ndarray,
+                      angle: jnp.ndarray) -> jnp.ndarray:
+    """Rotation-steered 256-bit BRIEF, packed to (N, 8) uint32.
+
+    Samples the pre-blurred level image at pattern offsets rotated by the
+    keypoint angle (nearest-pixel, like the reference's GET_VALUE macro).
+    """
+    h, w = img_blur.shape
+    pat = jnp.asarray(_PATTERN, jnp.float32)                 # (256, 4)
+    ca = jnp.cos(angle)[:, None]
+    sa = jnp.sin(angle)[:, None]
+
+    def rot(x, y):
+        # (N, 256) rotated offsets
+        return x[None, :] * ca - y[None, :] * sa, x[None, :] * sa + y[None, :] * ca
+
+    rx1, ry1 = rot(pat[:, 0], pat[:, 1])
+    rx2, ry2 = rot(pat[:, 2], pat[:, 3])
+
+    def sample(rx, ry):
+        xs = jnp.clip(jnp.round(yx[:, 1:2] + rx), 0, w - 1).astype(jnp.int32)
+        ys = jnp.clip(jnp.round(yx[:, 0:1] + ry), 0, h - 1).astype(jnp.int32)
+        return jnp.take(img_blur.reshape(-1), ys * w + xs, axis=0)
+
+    bits = (sample(rx1, ry1) < sample(rx2, ry2)).astype(jnp.uint32)  # (N, 256)
+    lanes = bits.reshape(bits.shape[0], 8, 32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
+    return jnp.sum(lanes << shifts, axis=-1, dtype=jnp.uint32)       # (N, 8)
+
+
+def _border_mask(score: jnp.ndarray, margin: int) -> jnp.ndarray:
+    h, w = score.shape
+    r = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    ok = (r >= margin) & (r < h - margin) & (c >= margin) & (c < w - margin)
+    return jnp.where(ok, score, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "height", "width"))
+def extract_orb(
+    gray: jnp.ndarray,
+    dyna_mask: jnp.ndarray,
+    cfg: ORBConfig,
+    height: int = 480,
+    width: int = 640,
+) -> OrbFeatures:
+    """Extract ORB features from an (H, W) grayscale image, erasing keypoints
+    on dynamic pixels (mask == 255) with the <min_keypoints revert rule.
+
+    dyna_mask: (H, W) int/uint8, 255 = dynamic (reference encoding). Pass
+    zeros to disable erasure.
+    """
+    shapes = level_shapes(height, width, cfg.n_levels, cfg.scale_factor)
+    quotas = level_quotas(cfg.n_features, cfg.n_levels, cfg.scale_factor)
+
+    g = gray.astype(jnp.float32)
+    feats_xy, feats_lvl, feats_ang, feats_score, feats_desc = [], [], [], [], []
+    level_img = g
+    for l, ((lh, lw), quota) in enumerate(zip(shapes, quotas)):
+        if l > 0:
+            level_img = im.resize_bilinear(level_img, (lh, lw))
+        s_hi = fast_score_map(level_img, float(cfg.ini_th_fast))
+        s_lo = fast_score_map(level_img, float(cfg.min_th_fast))
+        # low-threshold fallback only where the high threshold found nothing
+        # in the local cell; approximating with a pixel-level mix biased by a
+        # large bonus for high-threshold corners preserves their priority.
+        score = jnp.where(s_hi > 0, s_hi + 1000.0, s_lo)
+        score = _border_mask(_nms3(score), _EDGE_MARGIN)
+        yx, sc = _cell_candidates(score, quota)
+        ang = ic_angle(level_img, yx)
+        blur = im.gaussian_blur(level_img, 7, 2.0)
+        desc = brief_descriptors(blur, yx, ang)
+        scale_back = cfg.scale_factor ** l
+        feats_xy.append(jnp.stack([yx[:, 1], yx[:, 0]], axis=-1).astype(jnp.float32) * scale_back)
+        feats_lvl.append(jnp.full((quota,), l, jnp.int32))
+        feats_ang.append(ang)
+        feats_score.append(sc)
+        feats_desc.append(desc)
+
+    xy = jnp.concatenate(feats_xy)
+    lvl = jnp.concatenate(feats_lvl)
+    ang = jnp.concatenate(feats_ang)
+    sc = jnp.concatenate(feats_score)
+    desc = jnp.concatenate(feats_desc)
+    valid = jnp.isfinite(sc) & (sc > 0)
+
+    # --- dynamic-mask erasure with lost-prevention revert
+    # (reference ORBextractor.cc:1063-1115)
+    mx = jnp.clip(xy[:, 0].astype(jnp.int32), 0, width - 1)
+    my = jnp.clip(xy[:, 1].astype(jnp.int32), 0, height - 1)
+    on_dynamic = dyna_mask[my, mx] == 255
+    survivors = valid & ~on_dynamic
+    revert = jnp.sum(survivors) < cfg.min_keypoints_after_mask
+    valid = jnp.where(revert, valid, survivors)
+
+    return OrbFeatures(xy=xy, level=lvl, angle=ang, score=sc, desc=desc, valid=valid)
+
+
+def hamming_distance_matrix(desc_a: jnp.ndarray, desc_b: jnp.ndarray) -> jnp.ndarray:
+    """(Na, 8) x (Nb, 8) uint32 -> (Na, Nb) int32 Hamming distances.
+
+    XOR + popcount on 32-bit lanes; replaces the reference's per-pair
+    DescriptorDistance loop (``ORBmatcher.cc``)."""
+    x = jnp.bitwise_xor(desc_a[:, None, :], desc_b[None, :, :])
+    return jnp.sum(lax.population_count(x), axis=-1).astype(jnp.int32)
