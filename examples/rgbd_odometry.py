@@ -1,0 +1,146 @@
+#!/usr/bin/env python3
+"""RGB-D odometry/SLAM driver — the ``rgbd_tum_noros`` equivalent (L4).
+
+Usage (TUM layout, mirroring the reference CLI
+``./rgbd_tum_noros voc settings seq assoc`` — no vocabulary file is needed
+here; settings may be a reference-format camera YAML):
+
+    python examples/rgbd_odometry.py --sequence /data/rgbd_dataset_fr3_walking_xyz \
+        [--settings TUM3.yaml] [--assoc associations.txt] [--out traj.txt] \
+        [--dyna] [--frames N]
+
+or on the built-in synthetic scene (no dataset required):
+
+    python examples/rgbd_odometry.py --synthetic --frames 12 --out traj.txt
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+# allow running the script directly from anywhere
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--sequence", help="TUM sequence directory")
+    ap.add_argument("--assoc", help="pre-built association file (optional)")
+    ap.add_argument("--settings", help="reference-format camera YAML")
+    ap.add_argument("--synthetic", action="store_true", help="use built-in synthetic scene")
+    ap.add_argument("--frames", type=int, default=0, help="limit frame count")
+    ap.add_argument("--out", default="CameraTrajectory.txt")
+    ap.add_argument("--dyna", action="store_true",
+                    help="enable dynamic-region detection (DynaDetect)")
+    ap.add_argument("--n-features", type=int, default=1000)
+    ap.add_argument("--eval-ate", action="store_true",
+                    help="evaluate ATE against ground truth when available")
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+
+    from sindslam_tpu.config import ORBConfig, SystemConfig, system_config_from_yaml
+    from sindslam_tpu.datasets.tum import write_tum_trajectory
+    from sindslam_tpu.frontend import orb
+    from sindslam_tpu.ops import image as im
+    from sindslam_tpu.slam.frame import build_frame
+    from sindslam_tpu.slam.tracking import OdometryTracker
+
+    if args.settings:
+        cfg = system_config_from_yaml(args.settings)
+    else:
+        cfg = SystemConfig()
+    ocfg = ORBConfig(n_features=args.n_features,
+                     n_levels=cfg.orb.n_levels,
+                     ini_th_fast=cfg.orb.ini_th_fast,
+                     min_th_fast=cfg.orb.min_th_fast)
+    cam = cfg.camera
+
+    # ---- frame source
+    gt_rows = None
+    if args.synthetic:
+        from sindslam_tpu.datasets.synthetic import generate_sequence
+
+        n = args.frames or 12
+        seq = list(generate_sequence(n_frames=n, seed=0, amplitude=0.06))
+        frames_iter = [(rgb, depth, t) for rgb, depth, _, _, t in seq]
+        gt_rows = [(t, pose) for _, _, _, pose, t in seq]
+    else:
+        if not args.sequence:
+            ap.error("--sequence or --synthetic required")
+        from sindslam_tpu.datasets.tum import load_tum_sequence
+
+        seq = load_tum_sequence(args.sequence, cfg.associate_offset,
+                                cfg.associate_max_difference,
+                                cam.depth_factor, args.assoc)
+        n = min(len(seq), args.frames) if args.frames else len(seq)
+        frames_iter = (seq.load_frame(i) for i in range(n))
+
+    # ---- optional dynamic-region detector
+    dyna = None
+    if args.dyna:
+        from sindslam_tpu.frontend.dyna_detect import DynaDetector
+
+        dyna = DynaDetector(cfg)
+
+    tracker = OdometryTracker(cam, cfg.tracking)
+    zero_mask = jnp.zeros((cam.height, cam.width), jnp.int32)
+
+    timestamps, poses_twc = [], []
+    t_total = t_detect = t_track = 0.0
+    n_done = 0
+    for rgb, depth, ts in frames_iter:
+        t0 = time.time()
+        g = im.rgb_to_gray(jnp.asarray(rgb))
+        d = jnp.asarray(depth)
+        if dyna is not None:
+            mask, label = dyna.detect(jnp.asarray(rgb), d)
+            t1 = time.time()
+            t_detect += t1 - t0
+        else:
+            mask = zero_mask
+            t1 = t0
+        feats = orb.extract_orb(g, mask, ocfg,
+                                height=cam.height, width=cam.width)
+        frame = build_frame(feats, d, cam, ts)
+        Tcw, info = tracker.track(frame)
+        t_track += time.time() - t1
+        t_total += time.time() - t0
+        timestamps.append(ts)
+        poses_twc.append(np.linalg.inv(Tcw))
+        n_done += 1
+        if n_done % 10 == 0 or tracker.lost:
+            state = "LOST" if tracker.lost else "ok"
+            print(f"[{n_done}] t={ts:.3f} {state} matches={info['n_matches']} "
+                  f"inliers={info['n_inliers']}", flush=True)
+
+    write_tum_trajectory(args.out, np.array(timestamps), np.stack(poses_twc))
+    print(f"tracked {n_done} frames | mean/frame: total {1000*t_total/n_done:.1f} ms"
+          + (f" (detect {1000*t_detect/n_done:.1f} ms, track {1000*t_track/n_done:.1f} ms)"
+             if dyna else "")
+          + f" | trajectory -> {args.out}")
+
+    if args.eval_ate:
+        from sindslam_tpu.evaluation import evaluate_ate
+
+        if args.synthetic and gt_rows is not None:
+            ts_arr = np.array([t for t, _ in gt_rows])
+            gt_xyz = np.stack([p[:3, 3] for _, p in gt_rows])
+            est_xyz = np.stack([p[:3, 3] for p in poses_twc])
+            print(evaluate_ate(ts_arr, gt_xyz, np.array(timestamps), est_xyz))
+        elif not args.synthetic and seq.gt_timestamps is not None:
+            est_xyz = np.stack([p[:3, 3] for p in poses_twc])
+            print(evaluate_ate(seq.gt_timestamps, seq.gt_poses[:, :3],
+                               np.array(timestamps), est_xyz))
+        else:
+            print("no ground truth available for ATE")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -195,8 +195,10 @@ class TrackingConfig:
     hamming_th_high: int = 100
     hamming_th_low: int = 50
     nn_ratio: float = 0.9
-    search_radius_coarse: float = 15.0
-    search_radius_fine: float = 7.0
+    # RGB-D guided-search windows (the reference uses th=15 for RGB-D in
+    # TrackWithMotionModel, doubled on the retry)
+    search_radius_coarse: float = 30.0
+    search_radius_fine: float = 15.0
     # Keyframe policy (``src/Tracking.cc:1014-1097``)
     min_frames_between_kf: int = 0
     max_frames_between_kf: int = 30

@@ -1,0 +1,119 @@
+"""Frame-rate pose tracking (constant-velocity model + projection matching +
+batched GN pose optimization).
+
+Host-side state machine mirroring the structure of the reference's
+``Tracking::Track`` / ``TrackWithMotionModel`` (``ORB_SLAM2/src/Tracking.cc:
+304-560, 903``), with the device work (matching + optimization) batched into
+one jitted dispatch per frame, per the host/device split in SURVEY.md §7.
+
+This module provides the minimum end-to-end slice (frame-to-frame RGB-D
+odometry); keyframe/local-map tracking lives in slam/local_map.py and is
+layered on top by slam/system.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sindslam_tpu.config import CameraConfig, TrackingConfig
+from sindslam_tpu.geometry import se3
+from sindslam_tpu.slam import matching
+from sindslam_tpu.slam.frame import FrameData, project_world_points, unproject_to_world
+from sindslam_tpu.slam.optimizer import PoseOptResult, pose_optimization
+
+
+class TrackStepResult(NamedTuple):
+    Tcw: jnp.ndarray
+    n_matches: jnp.ndarray
+    n_inliers: jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "cfg", "radius"))
+def track_against_frame(
+    prev: FrameData, prev_Twc: jnp.ndarray,
+    cur: FrameData, Tcw_pred: jnp.ndarray,
+    cam: CameraConfig, cfg: TrackingConfig, radius: float,
+) -> TrackStepResult:
+    """One device dispatch: unproject prev frame's depth points to world,
+    project into the predicted current pose, match within the window, run
+    robust GN pose optimization."""
+    pts_w = unproject_to_world(prev, prev_Twc, cam)
+    src_valid = prev.valid & (prev.depth > 0)
+    proj_uv, in_frustum = project_world_points(pts_w, Tcw_pred, cam)
+    proj_ok = src_valid & in_frustum
+
+    m = matching.match_by_projection(
+        proj_uv, proj_ok, prev.desc, prev.level,
+        cur.xy, cur.desc, cur.level, cur.valid,
+        radius=radius, max_dist=cfg.hamming_th_high,
+    )
+    tgt = jnp.maximum(m.idx, 0)
+    obs_uv = cur.xy[tgt]
+    obs_ur = jnp.where(m.valid, cur.ur[tgt], -1.0)
+    obs_level = cur.level[tgt]
+
+    res = pose_optimization(
+        Tcw_pred, pts_w, obs_uv, obs_ur, obs_level, m.valid, cam, cfg)
+    return TrackStepResult(Tcw=res.Tcw, n_matches=jnp.sum(m.valid),
+                           n_inliers=res.n_inliers)
+
+
+class OdometryTracker:
+    """Constant-velocity frame-to-frame RGB-D odometry.
+
+    Keeps host-side state (last frame tensors, last pose, velocity); all math
+    per frame runs in a single jitted call. The first frame defines the world
+    origin (identity pose), like the reference RGB-D initialization.
+    """
+
+    def __init__(self, cam: CameraConfig, cfg: TrackingConfig):
+        self.cam = cam
+        self.cfg = cfg
+        self.prev: Optional[FrameData] = None
+        self.Tcw = jnp.eye(4)
+        self.velocity = jnp.eye(4)   # Tcw_t @ inv(Tcw_{t-1})
+        self.lost = False
+
+    def track(self, frame: FrameData) -> Tuple[np.ndarray, dict]:
+        """Returns (Tcw (4, 4) numpy, info dict)."""
+        info = {"n_matches": 0, "n_inliers": 0, "relocalized": False}
+        if self.prev is None:
+            self.prev = frame
+            self.Tcw = jnp.eye(4)
+            return np.asarray(self.Tcw), info
+
+        prev_Twc = se3.se3_inverse(self.Tcw[None])[0]
+        Tcw_pred = self.velocity @ self.Tcw
+
+        res = track_against_frame(self.prev, prev_Twc, frame, Tcw_pred,
+                                  self.cam, self.cfg,
+                                  radius=self.cfg.search_radius_fine)
+        n_inl = int(res.n_inliers)
+        if n_inl < self.cfg.min_tracked_points:
+            # wide-window retry from the last pose (motion model may be off),
+            # mirroring the reference's th=2x retry in TrackWithMotionModel
+            res = track_against_frame(self.prev, prev_Twc, frame, self.Tcw,
+                                      self.cam, self.cfg,
+                                      radius=self.cfg.search_radius_coarse)
+            n_inl = int(res.n_inliers)
+            info["relocalized"] = True
+
+        if n_inl >= self.cfg.min_tracked_points:
+            new_Tcw = res.Tcw
+            self.velocity = new_Tcw @ se3.se3_inverse(self.Tcw[None])[0]
+            self.Tcw = new_Tcw
+            self.lost = False
+        else:
+            # keep extrapolating; flag lost (reference sets mState=LOST)
+            self.Tcw = Tcw_pred
+            self.lost = True
+
+        info["n_matches"] = int(res.n_matches)
+        info["n_inliers"] = n_inl
+        self.prev = frame
+        return np.asarray(self.Tcw), info
