@@ -160,8 +160,9 @@ def make_trajectory(n_frames: int, amplitude: float = 0.25, seed: int = 0
         tx = amplitude * (0.8 * s + 0.5 * np.sin(1.3 * np.pi * s))
         ty = 0.4 * amplitude * np.sin(2.6 * np.pi * s + 0.7)
         tz = 0.5 * amplitude * (0.6 * s + 0.4 * np.sin(1.7 * np.pi * s + 1.3))
-        yaw = 0.06 * np.sin(1.9 * np.pi * s + 0.3)
-        pitch = 0.03 * np.sin(3.1 * np.pi * s + 1.1)
+        # rotations scale with amplitude so slow sequences also rotate slowly
+        yaw = 0.25 * amplitude * np.sin(1.9 * np.pi * s + 0.3)
+        pitch = 0.12 * amplitude * np.sin(3.1 * np.pi * s + 1.1)
         cy_, sy = np.cos(yaw), np.sin(yaw)
         cp, sp = np.cos(pitch), np.sin(pitch)
         Ry = np.array([[cy_, 0, sy], [0, 1, 0], [-sy, 0, cy_]])

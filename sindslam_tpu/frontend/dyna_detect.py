@@ -1,0 +1,148 @@
+"""DynaDetect: the per-frame dynamic-region detector (the contribution, L1).
+
+Orchestrates the TPU-native equivalents of the reference's
+``DynaDetect::DetectDynaArea`` (``ORB_SLAM2/src/DynaDetect.cc:1377-1666``):
+
+    flow (n -> n-2, fallback n -> n-1 on large motion)   [ops/flow.py]
+    k-means re-clustering (warm-started)                 [frontend/clustering.py]
+    depth/plane edges                                    [frontend/edges.py]
+    RAG component merge                                  [frontend/rag_merge.py]
+    homography + residual thresholds                     [frontend/flow_mask.py]
+    mask fusion + encoding                               [frontend/fusion.py]
+
+Where the reference overlaps a flow thread with the clustering work via
+``std::thread`` + promise (``:1396-1398,1553-1554``), here both are branches
+of the same XLA computation — the compiler owns the overlap. Host control is
+limited to the large-motion fallback (one scalar readback, mirroring the
+reference's sequential re-run, ``:1121-1131``) and the 3-frame state rollover
+(``:1660-1664``).
+
+Output encoding (``:1622,1633-1634``): 255 = dynamic, 125 = static valid
+depth, 0 = depth-invalid; plus the cluster label image for the mapping
+back-end. The driver applies the final 15x15 ellipse dilation
+(``rgbd_tum_noros.cc:108,138``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sindslam_tpu.config import CameraConfig, DynaConfig, FlowConfig, SystemConfig
+from sindslam_tpu.frontend.clustering import seg_by_kmeans
+from sindslam_tpu.frontend.edges import cal_occluded
+from sindslam_tpu.frontend.flow_mask import flow_residual_mask, sample_weights
+from sindslam_tpu.frontend.fusion import fuse_masks
+from sindslam_tpu.frontend.rag_merge import rag_merge
+from sindslam_tpu.ops import flow as flow_ops
+from sindslam_tpu.ops import image as im
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _flow_fn(gray_a, gray_b, cfg: FlowConfig):
+    return flow_ops.flow_at_working_scale(gray_a, gray_b, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "cfg"))
+def _geometry_fn(depth, prev_labels, cam: CameraConfig, cfg: DynaConfig):
+    """k-means + edges + RAG merge (the 'geometry branch')."""
+    kml, centers = seg_by_kmeans(depth, cam, cfg, prev_labels)
+    er = cal_occluded(depth, cam, cfg)
+    rr = rag_merge(kml, er.occluded1, er.occluded2, er.total_area, depth, cfg)
+    return kml, er, rr
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _mask_fn(flow_u, flow_v, weight_map, valid, prev_high, label_img,
+             cfg: DynaConfig, key):
+    fm = flow_residual_mask(flow_u, flow_v, weight_map, valid, cfg, key)
+    fu = fuse_masks(fm.low_mask, fm.high_mask, prev_high, label_img, valid, cfg)
+    return fm, fu
+
+
+class DynaDetector:
+    """Stateful per-frame dynamic-region detector.
+
+    State across frames (reference ``include/DynaDetect.h:164-179``): the two
+    previous grayscale images (flow n->n-2), the previous dynamic mask and
+    high-residual mask, previous cluster labels, and per-cluster dynamic
+    ratios for the homography sampling weights.
+    """
+
+    def __init__(self, cfg: SystemConfig):
+        self.cfg = cfg
+        self.cam = cfg.camera
+        h, w = self.cam.height, self.cam.width
+        self._gray_m1: Optional[jnp.ndarray] = None
+        self._gray_m2: Optional[jnp.ndarray] = None
+        self._prev_labels: Optional[jnp.ndarray] = None
+        self._prev_high = jnp.zeros((h, w), bool)
+        self._prev_mask = jnp.zeros((h, w), jnp.int32)
+        self._prev_ratio_img = jnp.zeros((h, w), jnp.float32)
+        self._frame_idx = 0
+        self._key = jax.random.PRNGKey(0)
+
+    def detect(self, rgb: jnp.ndarray, depth_m: jnp.ndarray
+               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """rgb (H, W, 3) uint8, depth (H, W) metres ->
+        (dyna_mask (H, W) int32 255/125/0, label_img (H, W) int32)."""
+        cfg = self.cfg
+        gray = im.rgb_to_gray(rgb)
+        valid = (depth_m > 0.05) & (depth_m <= cfg.dyna.max_depth_m)
+
+        if self._gray_m1 is None:
+            # frame 0: no flow yet; everything valid is static
+            kml, er, rr = _geometry_fn(depth_m, None, self.cam, cfg.dyna)
+            mask = jnp.where(valid, cfg.dyna.mask_static, cfg.dyna.mask_invalid
+                             ).astype(jnp.int32)
+            self._gray_m1 = gray
+            self._prev_labels = kml
+            self._prev_mask = mask
+            self._frame_idx = 1
+            return mask, rr.label_img
+
+        # ---- flow: n -> n-2 preferred, n -> n-1 on large motion (or frame 1)
+        ref_gray = self._gray_m2 if self._gray_m2 is not None else self._gray_m1
+        u, v = _flow_fn(gray, ref_gray, cfg.flow)
+
+        # ---- geometry branch
+        kml, er, rr = _geometry_fn(depth_m, self._prev_labels, self.cam, cfg.dyna)
+
+        # ---- sampling weights from the previous mask / ratios
+        self._key, k1 = jax.random.split(self._key)
+        wmap = sample_weights(self._prev_mask, self._prev_ratio_img, cfg.dyna, k1)
+
+        self._key, k2 = jax.random.split(self._key)
+        fm, fu = _mask_fn(u, v, wmap, valid, self._prev_high, rr.label_img,
+                          cfg.dyna, k2)
+
+        if bool(fm.large_motion) and self._gray_m2 is not None:
+            # reference fallback: recompute against the nearer frame n-1
+            u, v = _flow_fn(gray, self._gray_m1, cfg.flow)
+            self._key, k3 = jax.random.split(self._key)
+            fm, fu = _mask_fn(u, v, wmap, valid, self._prev_high, rr.label_img,
+                              cfg.dyna, k3)
+
+        mask = fu.dyna_mask
+
+        # ---- state rollover (reference DynaDetect.cc:1660-1664)
+        self._gray_m2 = self._gray_m1
+        self._gray_m1 = gray
+        self._prev_labels = kml
+        self._prev_high = fm.high_mask
+        self._prev_mask = mask
+        self._prev_ratio_img = fu.dynamic_ratio[
+            jnp.clip(rr.label_img, 0, fu.dynamic_ratio.shape[0] - 1)]
+        self._frame_idx += 1
+        return mask, rr.label_img
+
+
+def dilate_mask_for_tracking(mask: jnp.ndarray, cfg: DynaConfig) -> jnp.ndarray:
+    """Driver-side 15x15 ellipse dilation of the dynamic class
+    (reference ``rgbd_tum_noros.cc:108,138``)."""
+    dyn = (mask == cfg.mask_dynamic).astype(jnp.float32)
+    wide = im.dilate_ellipse(dyn, cfg.mask_dilate_ksize) > 0.5
+    return jnp.where(wide, cfg.mask_dynamic, mask).astype(jnp.int32)

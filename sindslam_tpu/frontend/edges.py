@@ -1,0 +1,226 @@
+"""Depth occlusion edges + blockwise plane segmentation (PEAC equivalent).
+
+Re-implements ``CalOccluded`` (reference ``ORB_SLAM2/src/DynaDetect.cc:
+429-642``) and the role of the vendored PEAC AHC plane fitter
+(``include/PEAC/``) with TPU-native formulations:
+
+- Depth gradient ("occlusion") edges: 5x5 median-filtered depth, local 5x5
+  max |diff| > max(3% depth, 400 mm)  (``:436-482``).
+- Edge endpoints: 12-point ring neighbor count <= 4, NMS radius 6
+  (``:498-536``, ring ``include/DynaDetect.h:113-125``).
+- Plane segmentation: instead of PEAC's sequential agglomerative merge queue
+  (``AHCPlaneFitter.hpp:186-237``) — inherently serial — planes are fitted
+  per 16x16 block by closed-form 3x3 eigendecomposition (the same primitive
+  as PEAC's ``eig33sym.hpp``), compatible neighboring blocks are merged by
+  fixed-iteration min-label propagation on the block graph, and pixels join
+  their block's plane by point-to-plane distance with a few geodesic growth
+  sweeps (the role of ``refineDetails``). Plane contours (thickness 2) are
+  emitted like the reference's modified PEAC (``AHCPlaneFitter.hpp:340-401``).
+- Output: imgTotalArea (valid 0-6 m), imgOccluded1 (gradient + kept plane
+  edges), imgOccluded2 (plane edges), per ``:639-641``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from sindslam_tpu.config import CameraConfig, DynaConfig
+from sindslam_tpu.ops import image as im
+
+# 12-point ring (radius ~3) used for the endpoint test.
+_RING12 = [(-3, -1), (-3, 1), (-1, -3), (-1, 3), (1, -3), (1, 3), (3, -1),
+           (3, 1), (-3, -3), (-3, 3), (3, -3), (3, 3)]
+
+
+class EdgeResult(NamedTuple):
+    total_area: jnp.ndarray   # bool (H, W): valid depth 0-6 m
+    occluded1: jnp.ndarray    # bool: gradient edges + kept plane edges
+    occluded2: jnp.ndarray    # bool: kept plane edges only
+    grad_edge: jnp.ndarray    # bool: depth gradient edges
+    endpoints: jnp.ndarray    # bool: NMS'd edge endpoints
+    plane_labels: jnp.ndarray  # int32 (H, W): plane id or -1
+
+
+def depth_gradient_edges(depth_m: jnp.ndarray, cfg: DynaConfig
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(grad_edge bool, total_area bool)."""
+    valid = (depth_m > 0.05) & (depth_m <= cfg.max_depth_m)
+    dmm = jnp.where(valid, depth_m * 1000.0, 0.0)
+    med = im.median_filter(dmm, cfg.median_ksize)
+    diff = im.local_max_abs_diff(med, cfg.median_ksize)
+    thresh = jnp.maximum(cfg.depth_edge_rel * med, cfg.depth_edge_abs_mm)
+    edge = (diff > thresh) & valid
+    return edge, valid
+
+
+def edge_endpoints(edge: jnp.ndarray, cfg: DynaConfig) -> jnp.ndarray:
+    """Endpoints of edge curves: edge pixels with <= 4 edge neighbors on the
+    12-point ring, locally suppressed within ``endpoint_nms_radius``."""
+    h, w = edge.shape
+    e = edge.astype(jnp.float32)
+    p = jnp.pad(e, 3)
+    ring_count = sum(p[3 + dy:3 + dy + h, 3 + dx:3 + dx + w] for dy, dx in _RING12)
+    # also require some local edge support so isolated noise pixels don't count
+    local = im.box_filter(e, 3) * 9.0
+    cand = edge & (ring_count <= 4) & (local >= 2.0)
+    # NMS: keep the candidate with the highest priority in each radius-6 disc
+    pri = jnp.where(cand,
+                    jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w +
+                    jax.lax.broadcasted_iota(jnp.int32, (h, w), 1) + 1,
+                    0)
+    k = 2 * cfg.endpoint_nms_radius + 1
+    local_max = im.dilate(pri, k)
+    return cand & (pri == local_max)
+
+
+def _block_plane_fit(depth_m: jnp.ndarray, cam: CameraConfig, cfg: DynaConfig):
+    """Fit a plane per BxB block. Returns (normals (bh, bw, 3), offsets
+    (bh, bw), mse (bh, bw), frac_valid (bh, bw), mean (bh, bw, 3))."""
+    B = cfg.plane_block
+    h, w = depth_m.shape
+    bh, bw = h // B, w // B
+    vs = jnp.arange(h, dtype=jnp.float32)[:, None]
+    us = jnp.arange(w, dtype=jnp.float32)[None, :]
+    zmin = cfg.plane_z_min_mm / 1000.0
+    zmax = cfg.plane_z_max_mm / 1000.0
+    valid = (depth_m > zmin) & (depth_m <= zmax)
+    z = jnp.where(valid, depth_m, 0.0)
+    x = (us - cam.cx) / cam.fx * z
+    y = (vs - cam.cy) / cam.fy * z
+    pts = jnp.stack([x, y, z], axis=-1)
+
+    pb = pts[:bh * B, :bw * B].reshape(bh, B, bw, B, 3).transpose(0, 2, 1, 3, 4
+                 ).reshape(bh, bw, B * B, 3)
+    vb = valid[:bh * B, :bw * B].reshape(bh, B, bw, B).transpose(0, 2, 1, 3
+                 ).reshape(bh, bw, B * B).astype(jnp.float32)
+    n = jnp.sum(vb, axis=-1)
+    mean = jnp.sum(pb * vb[..., None], axis=2) / jnp.maximum(n[..., None], 1.0)
+    d = (pb - mean[:, :, None, :]) * vb[..., None]
+    cov = jnp.einsum("ijka,ijkb->ijab", d, d,
+                     precision=jax.lax.Precision.HIGHEST) / jnp.maximum(
+        n[..., None, None], 1.0)
+    eigvals, eigvecs = jnp.linalg.eigh(cov)      # ascending
+    normal = eigvecs[..., :, 0]
+    # orient normals toward the camera (z component negative)
+    normal = normal * jnp.where(normal[..., 2:3] > 0, -1.0, 1.0)
+    mse = eigvals[..., 0]
+    offset = jnp.sum(normal * mean, axis=-1)
+    return normal, offset, mse, n / (B * B), mean
+
+
+def plane_segmentation(depth_m: jnp.ndarray, cam: CameraConfig, cfg: DynaConfig
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Segment near-planar regions. Returns ((H, W) int32 plane labels or -1,
+    (H, W) bool plane contours)."""
+    B = cfg.plane_block
+    h, w = depth_m.shape
+    normal, offset, mse, frac, mean = _block_plane_fit(depth_m, cam, cfg)
+    bh, bw = mse.shape
+    z_mean = jnp.maximum(mean[..., 2], 0.3)
+    # depth-dependent planarity tolerance (PEAC's sigma grows ~ z^2)
+    tol = jnp.maximum(0.009, 0.004 * z_mean + 0.002 * z_mean * z_mean)
+    planar = (frac > 0.75) & (mse < tol * tol)
+
+    # --- merge compatible neighbor blocks: min-label propagation
+    init = jnp.where(planar,
+                     jnp.arange(bh * bw, dtype=jnp.int32).reshape(bh, bw) + 1, 0)
+
+    def compatible(shift_y, shift_x):
+        n2 = jnp.roll(jnp.roll(normal, shift_y, 0), shift_x, 1)
+        o2 = jnp.roll(jnp.roll(offset, shift_y, 0), shift_x, 1)
+        p2 = jnp.roll(jnp.roll(planar, shift_y, 0), shift_x, 1)
+        dot = jnp.sum(normal * n2, axis=-1)
+        ok = (dot > cfg.plane_merge_cos) & (jnp.abs(offset - o2) < 3.0 * tol)
+        # forbid wrap-around at borders
+        ys = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0)
+        xs = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1)
+        inb = jnp.ones((bh, bw), bool)
+        if shift_y == 1:
+            inb &= ys > 0
+        if shift_y == -1:
+            inb &= ys < bh - 1
+        if shift_x == 1:
+            inb &= xs > 0
+        if shift_x == -1:
+            inb &= xs < bw - 1
+        return ok & planar & p2 & inb
+
+    comp = [(compatible(dy, dx), dy, dx)
+            for dy, dx in [(1, 0), (-1, 0), (0, 1), (0, -1)]]
+
+    def prop(labels, _):
+        best = labels
+        for ok, dy, dx in comp:
+            neigh = jnp.roll(jnp.roll(labels, dy, 0), dx, 1)
+            cand = jnp.where(ok & (neigh > 0), neigh, jnp.iinfo(jnp.int32).max)
+            best = jnp.minimum(best, jnp.where(best > 0, cand, best))
+        # pointer jumping on the flat block grid
+        jumped = jnp.take(best.reshape(-1), jnp.maximum(best - 1, 0).reshape(-1)
+                          ).reshape(bh, bw)
+        best = jnp.where((best > 0) & (jumped > 0), jnp.minimum(best, jumped), best)
+        return best, None
+
+    block_labels, _ = lax.scan(prop, init, None, length=24)
+
+    # --- per-pixel assignment: point-to-plane distance against own block
+    vs = jnp.arange(h, dtype=jnp.float32)[:, None]
+    us = jnp.arange(w, dtype=jnp.float32)[None, :]
+    zmin = cfg.plane_z_min_mm / 1000.0
+    zmax = cfg.plane_z_max_mm / 1000.0
+    pvalid = (depth_m > zmin) & (depth_m <= zmax)
+    z = jnp.where(pvalid, depth_m, 0.0)
+    pts = jnp.stack([(us - cam.cx) / cam.fx * z, (vs - cam.cy) / cam.fy * z, z],
+                    axis=-1)
+    by = jnp.clip(jnp.arange(h) // B, 0, bh - 1)
+    bx = jnp.clip(jnp.arange(w) // B, 0, bw - 1)
+    n_img = normal[by][:, bx]
+    o_img = offset[by][:, bx]
+    lbl_img = block_labels[by][:, bx]
+    tol_img = (3.0 * tol)[by][:, bx]
+    dist = jnp.abs(jnp.sum(n_img * pts, axis=-1) - o_img)
+    plane_px = jnp.where((lbl_img > 0) & (dist < tol_img) & pvalid, lbl_img, 0)
+
+    # --- drop small planes (min support, PEAC FitterAllParams minSupport=2000)
+    areas = jax.ops.segment_sum(jnp.ones((h * w,), jnp.float32),
+                                plane_px.reshape(-1), num_segments=bh * bw + 1)
+    keep = areas >= cfg.plane_min_support
+    plane_px = jnp.where(keep[plane_px], plane_px, 0)
+
+    labels = jnp.where(plane_px > 0, plane_px, -1).astype(jnp.int32)
+
+    # --- contours: plane boundary pixels, thickness 2 (dilate the boundary)
+    lab = plane_px
+    p = jnp.pad(lab, 1, mode="edge")
+    differs = ((p[0:h, 1:w + 1] != lab) | (p[2:h + 2, 1:w + 1] != lab)
+               | (p[1:h + 1, 0:w] != lab) | (p[1:h + 1, 2:w + 2] != lab))
+    boundary = differs & (lab > 0)
+    contours = im.dilate(boundary.astype(jnp.float32), 3) > 0.5
+    return labels, contours
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "cfg"))
+def cal_occluded(depth_m: jnp.ndarray, cam: CameraConfig, cfg: DynaConfig
+                 ) -> EdgeResult:
+    """Full CalOccluded pipeline (reference ``DynaDetect.cc:429-642``)."""
+    grad_edge, total_area = depth_gradient_edges(depth_m, cfg)
+    endpoints = edge_endpoints(grad_edge, cfg)
+    plane_labels, plane_contours = plane_segmentation(depth_m, cam, cfg)
+
+    # plane contours that are NOT already explained by gradient edges, kept
+    # only where they touch an (dilated) endpoint — the reference's rule for
+    # promoting plane-intersection edges (``:558-637``)
+    grad_wide = im.dilate(grad_edge.astype(jnp.float32), 3) > 0.5
+    cand = plane_contours & ~grad_wide
+    near_endpoint = im.dilate(endpoints.astype(jnp.float32), 13) > 0.5
+    kept_plane = cand & near_endpoint
+
+    occluded1 = (grad_edge | kept_plane) & total_area
+    occluded2 = kept_plane & total_area
+    return EdgeResult(total_area=total_area, occluded1=occluded1,
+                      occluded2=occluded2, grad_edge=grad_edge,
+                      endpoints=endpoints, plane_labels=plane_labels)

@@ -1,0 +1,195 @@
+"""Tests for geometric re-clustering, edges, RAG merge, fusion, and the full
+DynaDetect pipeline on the synthetic dynamic scene."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sindslam_tpu.config import CameraConfig, DynaConfig, FlowConfig, SystemConfig
+from sindslam_tpu.datasets.synthetic import generate_sequence, make_default_scene, make_trajectory
+from sindslam_tpu.frontend.clustering import seg_by_kmeans
+from sindslam_tpu.frontend.dyna_detect import DynaDetector, dilate_mask_for_tracking
+from sindslam_tpu.frontend.edges import cal_occluded, depth_gradient_edges, plane_segmentation
+from sindslam_tpu.frontend.fusion import fuse_masks
+from sindslam_tpu.frontend.rag_merge import components_from_labels, rag_merge
+
+CAM = CameraConfig(cx=319.5, cy=239.5)  # synthetic scene intrinsics
+DCFG = DynaConfig()
+
+
+@pytest.fixture(scope="module")
+def frame0():
+    scene = make_default_scene(0, with_dynamic=True)
+    poses = make_trajectory(4, 0.05)
+    rgb, depth, dyn = scene.render(poses[0], np.zeros(3))
+    return rgb, depth, dyn
+
+
+def test_kmeans_segments_depth_structure(frame0):
+    _, depth, _ = frame0
+    labels, centers = seg_by_kmeans(jnp.asarray(depth), CAM, DCFG, None)
+    lab = np.asarray(labels)
+    valid = (depth > 0.05) & (depth <= 6.0)
+    assert (lab[~valid] == -1).all()
+    assert (lab[valid] >= 0).all()
+    used = np.unique(lab[valid])
+    assert len(used) >= 6              # scene has several depth layers
+    # the near box (z~2.1) and the back wall (z~5.3) never share a cluster
+    boxB = lab[220:260, 380:440]       # around box B face
+    wall = lab[60:120, 200:260]        # back wall region
+    assert len(np.intersect1d(np.unique(boxB), np.unique(wall))) == 0
+
+
+def test_kmeans_warm_start_stability(frame0):
+    _, depth, _ = frame0
+    l1, _ = seg_by_kmeans(jnp.asarray(depth), CAM, DCFG, None)
+    l2, _ = seg_by_kmeans(jnp.asarray(depth), CAM, DCFG, l1)
+    a, b = np.asarray(l1), np.asarray(l2)
+    valid = a >= 0
+    assert (a[valid] == b[valid]).mean() > 0.95
+
+
+def test_depth_edges_on_box_boundary(frame0):
+    import cv2
+
+    _, depth, _ = frame0
+    edge, valid = depth_gradient_edges(jnp.asarray(depth), DCFG)
+    e = np.asarray(edge)
+    # locate box B (z ~ 2.3 m) from depth and test its silhouette fires edges
+    box = np.abs(depth - 2.3) < 0.05
+    assert box.sum() > 1000
+    sil = (cv2.dilate(box.astype(np.uint8), np.ones((5, 5), np.uint8)) > 0) & ~ \
+        (cv2.erode(box.astype(np.uint8), np.ones((5, 5), np.uint8)) > 0)
+    # interior silhouette only (image-border parts excluded)
+    sil[:3] = sil[-3:] = False
+    sil[:, :3] = sil[:, -3:] = False
+    assert e[sil].mean() > 0.3                  # silhouette is a depth jump
+    # flat interior of the back wall (z ~ 5.3-5.6, away from objects): no edges
+    wall = (np.abs(depth - depth[50:150, 50:250].mean()) < 0.1)
+    wall_interior = cv2.erode(wall.astype(np.uint8), np.ones((9, 9), np.uint8)) > 0
+    assert e[wall_interior].mean() < 0.02
+
+
+def test_plane_segmentation_finds_walls(frame0):
+    _, depth, _ = frame0
+    labels, contours = plane_segmentation(jnp.asarray(depth), CAM, DCFG)
+    lab = np.asarray(labels)
+    # back wall is a dominant plane
+    wall = lab[60:120, 250:350]
+    vals, counts = np.unique(wall[wall >= 0], return_counts=True)
+    assert counts.sum() > 0.5 * wall.size
+    # plane area total is large (walls + floor)
+    assert (lab >= 0).mean() > 0.4
+
+
+def test_cal_occluded_outputs(frame0):
+    _, depth, _ = frame0
+    er = cal_occluded(jnp.asarray(depth), CAM, DCFG)
+    assert np.asarray(er.total_area).mean() > 0.5
+    occ1 = np.asarray(er.occluded1)
+    assert 0.001 < occ1.mean() < 0.2
+    # occluded2 (plane edges) is a subset of occluded1
+    assert not (np.asarray(er.occluded2) & ~occ1).any()
+
+
+def test_components_label_aware():
+    labels = np.zeros((32, 32), np.int32)
+    labels[:, 16:] = 1
+    mask = np.ones((32, 32), bool)
+    comp = np.asarray(components_from_labels(jnp.asarray(labels), jnp.asarray(mask)))
+    assert len(np.unique(comp)) == 2   # the label change splits components
+
+
+def test_rag_merge_on_synthetic(frame0):
+    _, depth, _ = frame0
+    d = jnp.asarray(depth)
+    kml, _ = seg_by_kmeans(d, CAM, DCFG, None)
+    er = cal_occluded(d, CAM, DCFG)
+    rr = rag_merge(kml, er.occluded1, er.occluded2, er.total_area, d, DCFG)
+    lab = np.asarray(rr.label_img)
+    n = int(rr.n_clusters)
+    assert 2 <= n <= 32
+    valid = np.asarray(er.total_area)
+    # nearly all valid pixels labeled after geodesic growth
+    assert (lab[valid] > 0).mean() > 0.9
+    # the dynamic board (z~1.7, distinct depth) does not share a label with
+    # the back wall
+    board = lab[255:300, 290:350]
+    wall = lab[60:120, 200:260]
+    common = np.intersect1d(np.unique(board[board > 0]), np.unique(wall[wall > 0]))
+    assert len(common) == 0
+
+
+def test_fusion_encoding_and_flood():
+    h, w = 120, 160
+    valid = np.ones((h, w), bool)
+    label = np.ones((h, w), np.int32)
+    label[:, 80:] = 2
+    low = np.zeros((h, w), bool)
+    high = np.zeros((h, w), bool)
+    # cluster 2 has a strong high seed covering most of it through the low mask
+    low[10:110, 90:150] = True
+    high[40:80, 100:140] = True
+    res = fuse_masks(jnp.asarray(low), jnp.asarray(high),
+                     jnp.zeros((h, w), bool), jnp.asarray(label),
+                     jnp.asarray(valid), DCFG)
+    m = np.asarray(res.dyna_mask)
+    assert set(np.unique(m)) <= {0, 125, 255}
+    # cluster 2 becomes (mostly) dynamic; cluster 1 stays static away from the
+    # dilated boundary
+    assert (m[20:100, 100:150] == 255).mean() > 0.8
+    assert (m[:, :40] == 125).all()
+    ratio = np.asarray(res.dynamic_ratio)
+    assert ratio[2] > 0.5 and ratio[1] < 0.3
+
+
+def test_fusion_no_high_no_dynamic():
+    h, w = 64, 64
+    res = fuse_masks(jnp.ones((h, w), bool), jnp.zeros((h, w), bool),
+                     jnp.zeros((h, w), bool), jnp.ones((h, w), jnp.int32),
+                     jnp.ones((h, w), bool), DCFG)
+    assert (np.asarray(res.dyna_mask) == 125).all()
+
+
+@pytest.mark.slow
+def test_dyna_detector_end_to_end():
+    """The moving board must be flagged dynamic; the static scene must not.
+
+    'False' is measured OUTSIDE a 25-px rim around the ground truth: the
+    pipeline intentionally dilates dynamic regions (x9 + driver 15x15), so a
+    safety margin around the true object is by-design, not an error
+    (reference ``DynaDetect.cc:1622``, ``rgbd_tum_noros.cc:138``).
+    """
+    import cv2
+
+    cfg = SystemConfig(
+        camera=CAM,
+        flow=FlowConfig(n_levels=6, outer_iterations=10, inner_iterations=2,
+                        solver_iterations=8, working_height=192, working_width=256),
+    )
+    det = DynaDetector(cfg)
+    frames = list(generate_sequence(n_frames=4, seed=0, amplitude=0.05))
+    masks = []
+    for rgb, depth, dyn_gt, _, _ in frames:
+        mask, label = det.detect(jnp.asarray(rgb), jnp.asarray(depth))
+        masks.append((np.asarray(mask), dyn_gt))
+
+    for idx in (1, 2, 3):
+        m, gt = masks[idx]
+        dyn = m == 255
+        rim = cv2.dilate(gt.astype(np.uint8), np.ones((51, 51), np.uint8)) > 0
+        far_static = ~rim & ~gt
+        recall = dyn[gt].mean()
+        false_far = dyn[far_static].mean()
+        assert recall > 0.9, f"frame {idx}: recall {recall}"
+        limit = 0.10 if idx <= 2 else 0.30
+        assert false_far < limit, f"frame {idx}: false-far {false_far}"
+
+    # driver-side dilation only grows the dynamic class
+    m, _ = masks[-1]
+    dyn = m == 255
+    md = np.asarray(dilate_mask_for_tracking(jnp.asarray(m), DCFG))
+    assert ((md == 255) & ~dyn).sum() > 0
+    assert not (dyn & (md != 255)).any()
