@@ -91,8 +91,12 @@ class FlowConfig:
     gamma: float = 50.0        # gradient-constancy weight
     pyramid_scale: float = 0.8
     n_levels: int = 10         # pyramid depth cap
-    outer_iterations: int = 25 # lagged-nonlinearity updates per level
-    inner_iterations: int = 3  # linearization updates per outer
+    # TPU cost structure: each outer iteration pays one full-image gather
+    # (the warp); inner iterations and SOR sweeps run inside one VMEM-resident
+    # Pallas kernel and are nearly free. So the budget leans on inner/sweeps
+    # rather than the reference CUDA solver's 77 outer warps.
+    outer_iterations: int = 3  # warp + lagged-nonlinearity updates per level
+    inner_iterations: int = 6  # linearization updates per outer (in-kernel)
     solver_iterations: int = 10  # red-black relaxation sweeps per inner
     sor_omega: float = 1.9
     working_scale: float = 0.6  # flow computed at 0.6x then upscaled

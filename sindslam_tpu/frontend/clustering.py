@@ -70,10 +70,12 @@ def _kmeans_level(feats: jnp.ndarray, valid: jnp.ndarray, centers: jnp.ndarray,
              - 2.0 * jnp.matmul(P, centers.T, precision=jax.lax.Precision.HIGHEST)
              + jnp.sum(centers * centers, axis=-1)[None, :])
         lab = jnp.argmin(d, axis=-1)
-        onehot_sum = jax.ops.segment_sum(P * V[:, None], lab, num_segments=K)
-        counts = jax.ops.segment_sum(V, lab, num_segments=K)
+        # update via one-hot matmul (MXU) — scatter/segment_sum serializes on TPU
+        onehot = (lab[:, None] == jnp.arange(K)[None, :]).astype(jnp.float32) * V[:, None]
+        sums = jnp.matmul(onehot.T, P, precision=jax.lax.Precision.HIGHEST)
+        counts = jnp.sum(onehot, axis=0)
         new_centers = jnp.where(counts[:, None] > 0.5,
-                                onehot_sum / jnp.maximum(counts[:, None], 1e-6),
+                                sums / jnp.maximum(counts[:, None], 1e-6),
                                 centers)
         return new_centers, lab
 
@@ -113,8 +115,9 @@ def seg_by_kmeans(
         V = (valid_full & (prev_labels >= 0)).reshape(-1).astype(jnp.float32)
         lab = jnp.maximum(prev_labels.reshape(-1), 0)
         P = feats_full.reshape(-1, 3)
-        sums = jax.ops.segment_sum(P * V[:, None], lab, num_segments=K)
-        cnts = jax.ops.segment_sum(V, lab, num_segments=K)
+        onehot = (lab[:, None] == jnp.arange(K)[None, :]).astype(jnp.float32) * V[:, None]
+        sums = jnp.matmul(onehot.T, P, precision=jax.lax.Precision.HIGHEST)
+        cnts = jnp.sum(onehot, axis=0)
         grid = grid_init_centers(feats_full, valid_full, cfg)
         centers = jnp.where(cnts[:, None] > 10.0,
                             sums / jnp.maximum(cnts[:, None], 1e-6), grid)

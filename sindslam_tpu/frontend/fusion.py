@@ -38,9 +38,11 @@ class FusionResult(NamedTuple):
 
 
 def _per_label_sum(values: jnp.ndarray, label_img: jnp.ndarray) -> jnp.ndarray:
-    return jax.ops.segment_sum(values.reshape(-1),
-                               jnp.clip(label_img.reshape(-1), 0, _K_LABELS - 1),
-                               num_segments=_K_LABELS)
+    """Per-label sums via a one-hot matmul (MXU) — scatters serialize on TPU."""
+    lab = jnp.clip(label_img.reshape(-1), 0, _K_LABELS - 1)
+    onehot = (lab[:, None] == jnp.arange(_K_LABELS)[None, :]).astype(jnp.float32)
+    return jnp.matmul(values.reshape(1, -1).astype(jnp.float32), onehot,
+                      precision=jax.lax.Precision.DEFAULT)[0]
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -66,21 +68,29 @@ def fuse_masks(
     ones = jnp.ones((h, w), jnp.float32)
     clus_area = _per_label_sum(ones, label_img)
     high_in = high & (label_img > 0)
-    comp = im.connected_relabel(high_in, n_iters=48)     # (H, W) int32 ids
-    comp_flat = comp.reshape(-1)
-    n_seg = h * w + 1
-    area_c = jax.ops.segment_sum(high_in.reshape(-1).astype(jnp.float32),
-                                 comp_flat, num_segments=n_seg)
-    interior = im.erode(high_in.astype(jnp.float32), 3) > 0.5
-    perim_c = jax.ops.segment_sum((high_in & ~interior).reshape(-1).astype(jnp.float32),
-                                  comp_flat, num_segments=n_seg)
+    # component analysis at HALF resolution (area x1/4, perimeter x1/2,
+    # roundness invariant); the gather-heavy label propagation dominates the
+    # fusion cost at full res
+    high_h = high_in[::2, ::2] | high_in[1::2, ::2] | high_in[::2, 1::2] | high_in[1::2, 1::2]
+    comp_h = im.connected_relabel(high_h, n_iters=32)
+    hh, hw = comp_h.shape
+    comp_flat_h = comp_h.reshape(-1)
+    n_seg = hh * hw + 1
+    area_c = jax.ops.segment_sum(high_h.reshape(-1).astype(jnp.float32),
+                                 comp_flat_h, num_segments=n_seg)
+    interior_h = im.erode(high_h.astype(jnp.float32), 3) > 0.5
+    perim_c = jax.ops.segment_sum((high_h & ~interior_h).reshape(-1).astype(jnp.float32),
+                                  comp_flat_h, num_segments=n_seg)
     roundness_c = 4.0 * jnp.pi * area_c / jnp.maximum(perim_c * perim_c, 1.0)
-    eligible_c = ((area_c > cfg.flood_min_area) & (roundness_c > cfg.flood_roundness)) \
-        | (area_c > cfg.flood_big_area)
+    eligible_c = ((area_c > cfg.flood_min_area / 4.0)
+                  & (roundness_c > cfg.flood_roundness)) \
+        | (area_c > cfg.flood_big_area / 4.0)
     eligible_c = eligible_c.at[0].set(False)
 
     # --- geodesic growth of eligible high seeds through the low mask
-    seed = high_in & eligible_c[comp_flat].reshape(h, w)
+    elig_h = eligible_c[comp_flat_h].reshape(hh, hw)
+    elig_full = jnp.repeat(jnp.repeat(elig_h, 2, axis=0), 2, axis=1)[:h, :w]
+    seed = high_in & elig_full
     grow_zone = low & (label_img > 0)
 
     # label-preserving growth: dilate the (label * seed) image and require the

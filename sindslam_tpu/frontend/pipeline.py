@@ -1,0 +1,118 @@
+"""The fused per-frame front-end: ONE jitted XLA computation per frame.
+
+This is the TPU answer to the reference's thread+promise overlap
+(``DynaDetect.cc:1396-1398``): dense flow, k-means re-clustering, edges, RAG
+merge, homography/residual masking, fusion, and masked ORB extraction are all
+branches of a single XLA graph — the compiler schedules the overlap, state
+stays device-resident, and the host sees exactly one dispatch per frame.
+
+``frontend_step`` is the benchmark unit for bench.py (flow + recluster + ORB
+at 640x480, the BASELINE.json metric) and the flagship ``entry()`` for
+__graft_entry__.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sindslam_tpu.config import SystemConfig
+from sindslam_tpu.frontend.clustering import seg_by_kmeans
+from sindslam_tpu.frontend.edges import cal_occluded
+from sindslam_tpu.frontend.flow_mask import flow_residual_mask, sample_weights
+from sindslam_tpu.frontend.fusion import fuse_masks
+from sindslam_tpu.frontend.orb import OrbFeatures, extract_orb
+from sindslam_tpu.frontend.rag_merge import rag_merge
+from sindslam_tpu.ops import flow as flow_ops
+from sindslam_tpu.ops import image as im
+
+
+class FrontendState(NamedTuple):
+    """Device-resident recurrent state of the front-end."""
+
+    gray_m1: jnp.ndarray     # (H, W) previous grayscale
+    gray_m2: jnp.ndarray     # (H, W) grayscale two frames back
+    prev_labels: jnp.ndarray  # (H, W) int32 k-means warm start
+    prev_mask: jnp.ndarray   # (H, W) int32 previous dyna mask (255/125/0)
+    prev_high: jnp.ndarray   # (H, W) bool previous high-residual mask
+    ratio_img: jnp.ndarray   # (H, W) float32 per-pixel cluster dynamic ratio
+    key: jax.Array
+
+
+class FrontendOutput(NamedTuple):
+    dyna_mask: jnp.ndarray   # (H, W) int32 255/125/0 (pre driver-dilation)
+    label_img: jnp.ndarray   # (H, W) int32 cluster labels
+    features: OrbFeatures    # masked ORB features
+    large_motion: jnp.ndarray
+
+
+def init_state(cfg: SystemConfig, gray0: jnp.ndarray) -> FrontendState:
+    h, w = cfg.camera.height, cfg.camera.width
+    return FrontendState(
+        gray_m1=gray0,
+        gray_m2=gray0,
+        prev_labels=jnp.full((h, w), -1, jnp.int32),
+        prev_mask=jnp.zeros((h, w), jnp.int32),
+        prev_high=jnp.zeros((h, w), bool),
+        ratio_img=jnp.zeros((h, w), jnp.float32),
+        key=jax.random.PRNGKey(0),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def frontend_step(
+    rgb: jnp.ndarray,        # (H, W, 3) uint8
+    depth_m: jnp.ndarray,    # (H, W) float32 metres
+    state: FrontendState,
+    cfg: SystemConfig,
+) -> Tuple[FrontendOutput, FrontendState]:
+    """Full front-end for one frame: flow + recluster + masking + masked ORB.
+
+    (State donation is deliberately NOT used: donated buffers trip an
+    InvalidArgument in the axon tunnel runtime; the copies are cheap
+    relative to the compute.)
+    """
+    gray = im.rgb_to_gray(rgb)
+    valid = (depth_m > 0.05) & (depth_m <= cfg.dyna.max_depth_m)
+
+    # flow n -> n-2 (the large-motion n-1 fallback is a host decision; the
+    # fused step always uses n-2 like the reference's primary path)
+    u, v = flow_ops.flow_at_working_scale(gray, state.gray_m2, cfg.flow)
+
+    # geometry branch (dataflow-parallel with the flow branch inside XLA)
+    kml, _centers = seg_by_kmeans(depth_m, cfg.camera, cfg.dyna, state.prev_labels)
+    er = cal_occluded(depth_m, cfg.camera, cfg.dyna)
+    rr = rag_merge(kml, er.occluded1, er.occluded2, er.total_area, depth_m, cfg.dyna)
+
+    key, k1, k2 = jax.random.split(state.key, 3)
+    wmap = sample_weights(state.prev_mask, state.ratio_img, cfg.dyna, k1)
+    fm = flow_residual_mask(u, v, wmap, valid, cfg.dyna, k2)
+    fu = fuse_masks(fm.low_mask, fm.high_mask, state.prev_high, rr.label_img,
+                    valid, cfg.dyna)
+
+    # driver-side dilation fused in (reference rgbd_tum_noros.cc:138)
+    dyn_wide = im.dilate_ellipse((fu.dyna_mask == cfg.dyna.mask_dynamic
+                                  ).astype(jnp.float32),
+                                 cfg.dyna.mask_dilate_ksize) > 0.5
+    mask_for_orb = jnp.where(dyn_wide, cfg.dyna.mask_dynamic, fu.dyna_mask)
+
+    feats = extract_orb(gray, mask_for_orb, cfg.orb,
+                        height=cfg.camera.height, width=cfg.camera.width)
+
+    new_state = FrontendState(
+        gray_m1=gray,
+        gray_m2=state.gray_m1,
+        prev_labels=kml,
+        prev_mask=fu.dyna_mask,
+        prev_high=fm.high_mask,
+        ratio_img=fu.dynamic_ratio[
+            jnp.clip(rr.label_img, 0, fu.dynamic_ratio.shape[0] - 1)],
+        key=key,
+    )
+    out = FrontendOutput(dyna_mask=mask_for_orb.astype(jnp.int32),
+                         label_img=rr.label_img, features=feats,
+                         large_motion=fm.large_motion)
+    return out, new_state

@@ -113,36 +113,41 @@ def rag_merge(
     h, w = kmeans_labels.shape
     K = _K_MAX
 
-    # ---- components of (cluster minus edges)
+    # ---- components of (cluster minus edges), at HALF resolution: the
+    # min-label propagation + pointer jumping is gather-heavy, and component
+    # granularity (min area 80 px) survives 2x downsampling. Edges stay >= 1
+    # px wide at half res so they still separate regions.
+    lab_h = kmeans_labels[::2, ::2]
     seg_mask = valid & (kmeans_labels >= 0) & ~edges
-    comp = components_from_labels(kmeans_labels, seg_mask)
-    comp_id, areas = _compact_topk(comp, K, float(cfg.min_cluster_area))
+    mask_h = seg_mask[::2, ::2]
+    comp_h = components_from_labels(lab_h, mask_h, n_iters=32)
+    cid_h, _areas_h = _compact_topk(comp_h, K, float(cfg.min_cluster_area) / 4.0)
+    comp_id = jnp.repeat(jnp.repeat(cid_h, 2, axis=0), 2, axis=1)[:h, :w]
+    comp_id = jnp.where(seg_mask, comp_id, -1)
 
     flat_id = comp_id.reshape(-1)
     flat_ok = flat_id >= 0
-    seg = jnp.where(flat_ok, flat_id, K)      # K = trash bin
 
-    # ---- node features
+    # ---- node features via one-hot matmuls (MXU), not scatters
+    onehot = (comp_id[None, :, :] == jnp.arange(K)[:, None, None]).astype(jnp.float32)
+    M = onehot.reshape(K, h * w)
     ys = (jnp.arange(h * w) // w).astype(jnp.float32)
     xs = (jnp.arange(h * w) % w).astype(jnp.float32)
     zs = depth_m.reshape(-1)
-    ones = flat_ok.astype(jnp.float32)
-    cnt = jax.ops.segment_sum(ones, seg, num_segments=K + 1)[:K]
-    cx = jax.ops.segment_sum(xs * ones, seg, num_segments=K + 1)[:K]
-    cy = jax.ops.segment_sum(ys * ones, seg, num_segments=K + 1)[:K]
-    cz = jax.ops.segment_sum(zs * ones, seg, num_segments=K + 1)[:K]
-    centers = jnp.stack([cx, cy, cz], -1) / jnp.maximum(cnt[:, None], 1.0)
-
-    # depth histograms (16 bins over 0..max_depth)
     bin_idx = jnp.clip((zs / cfg.max_depth_m * _HIST_BINS).astype(jnp.int32),
                        0, _HIST_BINS - 1)
-    hseg = jnp.where(flat_ok, flat_id * _HIST_BINS + bin_idx, K * _HIST_BINS)
-    hist = jax.ops.segment_sum(ones, hseg, num_segments=K * _HIST_BINS + 1
-                               )[:K * _HIST_BINS].reshape(K, _HIST_BINS)
+    bin_onehot = (bin_idx[:, None] == jnp.arange(_HIST_BINS)[None, :]
+                  ).astype(jnp.float32)
+    feat_cols = jnp.concatenate(
+        [jnp.stack([jnp.ones_like(xs), xs, ys, zs], axis=-1), bin_onehot],
+        axis=-1)                                              # (HW, 4+16)
+    F = jnp.matmul(M, feat_cols, precision=jax.lax.Precision.DEFAULT)  # (K, 20)
+    cnt = F[:, 0]
+    centers = F[:, 1:4] / jnp.maximum(cnt[:, None], 1.0)
+    hist = F[:, 4:]
     hist_n = hist / jnp.maximum(jnp.sum(hist, -1, keepdims=True), 1.0)
 
     # ---- pairwise features via masked matmuls on dilated one-hot masks
-    onehot = (comp_id[None, :, :] == jnp.arange(K)[:, None, None]).astype(jnp.float32)
     dil = lax.reduce_window(onehot, -jnp.inf, lax.max,
                             (1, _DILATE_ADJ, _DILATE_ADJ), (1, 1, 1),
                             [(0, 0), (_DILATE_ADJ // 2,) * 2, (_DILATE_ADJ // 2,) * 2])
@@ -244,13 +249,11 @@ def rag_merge(
     label_img, _ = lax.scan(grow, label_img, None, length=6)
     label_img = jnp.where(valid, label_img, 0)
 
-    # aggregated root features for downstream consumers
-    seg_root = jnp.where(flat_ok, root[jnp.maximum(flat_id, 0)], K)
-    cnt_r = jax.ops.segment_sum(ones, seg_root, num_segments=K + 1)[:K]
-    cx_r = jax.ops.segment_sum(xs * ones, seg_root, num_segments=K + 1)[:K]
-    cy_r = jax.ops.segment_sum(ys * ones, seg_root, num_segments=K + 1)[:K]
-    cz_r = jax.ops.segment_sum(zs * ones, seg_root, num_segments=K + 1)[:K]
-    centers_r = jnp.stack([cx_r, cy_r, cz_r], -1) / jnp.maximum(cnt_r[:, None], 1.0)
+    # aggregated root features for downstream consumers: S^T (K-node feats)
+    S = (root[:, None] == jnp.arange(K)[None, :]).astype(jnp.float32)
+    cnt_r = S.T @ cnt
+    centers_r = jnp.matmul(S.T, centers * cnt[:, None],
+                           precision=_HI) / jnp.maximum(cnt_r[:, None], 1.0)
 
     return RagResult(label_img=label_img.astype(jnp.int32),
                      n_clusters=jnp.max(label_img),

@@ -119,23 +119,76 @@ def sor_solve_jax(
     return du, dv
 
 
+def _inner_solve_jax(ix, iy, iz, ixx, ixy, iyy, ixz, iyz, u, v, cfg: FlowConfig):
+    """Reference inner solve: lagged psi re-weighting + red-black SOR, as a
+    scan of XLA element-wise steps. Used on CPU and as the golden model for
+    the Pallas kernel."""
+    du = jnp.zeros_like(u)
+    dv = jnp.zeros_like(v)
+
+    def inner_step(carry, _):
+        du, dv = carry
+        r_data = iz + ix * du + iy * dv
+        psi_d = _psi_deriv(r_data * r_data)
+        gx = ixz + ixx * du + ixy * dv
+        gy = iyz + ixy * du + iyy * dv
+        psi_g = _psi_deriv(gx * gx + gy * gy) * cfg.gamma
+        ux, uy = _grad(u + du)
+        vx, vy = _grad(v + dv)
+        psi_s = _psi_deriv(ux * ux + uy * uy + vx * vx + vy * vy)
+        weights = _edge_weights(psi_s)
+
+        a11 = psi_d * ix * ix + psi_g * (ixx * ixx + ixy * ixy)
+        a12 = psi_d * ix * iy + psi_g * (ixx * ixy + ixy * iyy)
+        a22 = psi_d * iy * iy + psi_g * (ixy * ixy + iyy * iyy)
+        b_u = -(psi_d * ix * iz + psi_g * (ixx * ixz + ixy * iyz))
+        b_v = -(psi_d * iy * iz + psi_g * (ixy * ixz + iyy * iyz))
+
+        du, dv = sor_solve_jax(du, dv, a11, a12, a22, b_u, b_v, weights,
+                               u, v, cfg.alpha, cfg.sor_omega,
+                               cfg.solver_iterations)
+        return (du, dv), None
+
+    (du, dv), _ = lax.scan(inner_step, (du, dv), None, length=cfg.inner_iterations)
+    return du, dv
+
+
+def _inner_solve_pallas(ix, iy, iz, ixx, ixy, iyy, ixz, iyz, u, v,
+                        cfg: FlowConfig):
+    from sindslam_tpu.ops.pallas_kernels import sor_inner_pallas
+
+    return sor_inner_pallas(ix, iy, iz, ixx, ixy, iyy, ixz, iyz, u, v,
+                            alpha=cfg.alpha, gamma=cfg.gamma,
+                            omega=cfg.sor_omega, inner=cfg.inner_iterations,
+                            sweeps=cfg.solver_iterations)
+
+
+def _use_pallas(cfg: FlowConfig) -> bool:
+    if cfg.use_pallas is not None:
+        return cfg.use_pallas
+    return jax.default_backend() == "tpu"
+
+
 def _level_solve(
     i1: jnp.ndarray, i2: jnp.ndarray,
     u: jnp.ndarray, v: jnp.ndarray,
     cfg: FlowConfig,
-    sor_solver=sor_solve_jax,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Solve one pyramid level: warp, linearize, SOR; repeat outer times."""
+    """Solve one pyramid level: warp, linearize, inner solve; repeat outer
+    times. The inner solve (lagged nonlinearity + SOR) dispatches to a single
+    VMEM-resident Pallas kernel on TPU."""
     i1x, i1y = _grad(i1)
+    inner_solver = _inner_solve_pallas if _use_pallas(cfg) else _inner_solve_jax
 
     def outer_step(carry, _):
         u, v = carry
-        # warp I2 (and its gradients) by the current flow
+        # Warp I2 by the current flow. Gradients of the warped image stand in
+        # for warped gradients (differs by the flow Jacobian, standard
+        # approximation) — this keeps it to ONE gather per outer iteration;
+        # gathers are the dominant cost of the solve on TPU.
         i2w, inb = im.warp_by_flow(i2, u, v)
-        i2x_full, i2y_full = _grad(i2)
-        i2wx, _ = im.warp_by_flow(i2x_full, u, v)
-        i2wy, _ = im.warp_by_flow(i2y_full, u, v)
         inbf = inb.astype(jnp.float32)
+        i2wx, i2wy = _grad(i2w)
 
         iz = (i2w - i1) * inbf
         ix = 0.5 * (i2wx + i1x)
@@ -146,35 +199,7 @@ def _level_solve(
         ixz, _unused = _grad(iz)
         _unused2, iyz = _grad(iz)
 
-        du = jnp.zeros_like(u)
-        dv = jnp.zeros_like(v)
-
-        def inner_step(carry, _):
-            du, dv = carry
-            # lagged data weights
-            r_data = iz + ix * du + iy * dv
-            psi_d = _psi_deriv(r_data * r_data)
-            gx = ixz + ixx * du + ixy * dv
-            gy = iyz + ixy * du + iyy * dv
-            psi_g = _psi_deriv(gx * gx + gy * gy) * cfg.gamma
-            # lagged smoothness weights on total flow
-            ux, uy = _grad(u + du)
-            vx, vy = _grad(v + dv)
-            psi_s = _psi_deriv(ux * ux + uy * uy + vx * vx + vy * vy)
-            weights = _edge_weights(psi_s)
-
-            a11 = psi_d * ix * ix + psi_g * (ixx * ixx + ixy * ixy)
-            a12 = psi_d * ix * iy + psi_g * (ixx * ixy + ixy * iyy)
-            a22 = psi_d * iy * iy + psi_g * (ixy * ixy + iyy * iyy)
-            b_u = -(psi_d * ix * iz + psi_g * (ixx * ixz + ixy * iyz))
-            b_v = -(psi_d * iy * iz + psi_g * (ixy * ixz + iyy * iyz))
-
-            du, dv = sor_solver(du, dv, a11, a12, a22, b_u, b_v, weights,
-                                u, v, cfg.alpha, cfg.sor_omega,
-                                cfg.solver_iterations)
-            return (du, dv), None
-
-        (du, dv), _ = lax.scan(inner_step, (du, dv), None, length=cfg.inner_iterations)
+        du, dv = inner_solver(ix, iy, iz, ixx, ixy, iyy, ixz, iyz, u, v, cfg)
         # The linearization is only valid for small increments: clamp, then
         # median-filter the updated flow (Sun et al. 2010's stabilizer; kills
         # the isolated outliers that otherwise feed back through the warp).
@@ -203,7 +228,6 @@ def pyramid_shapes(h: int, w: int, scale: float, n_levels: int,
 
 def variational_flow(
     img1_gray: jnp.ndarray, img2_gray: jnp.ndarray, cfg: FlowConfig,
-    sor_solver=sor_solve_jax,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Dense flow img1 -> img2 on (H, W) grayscale in [0, 255].
 
@@ -234,7 +258,7 @@ def variational_flow(
             sv = lh / u.shape[0]
             u = im.resize_bilinear(u, (lh, lw)) * su
             v = im.resize_bilinear(v, (lh, lw)) * sv
-        u, v = _level_solve(pyr1[li], pyr2[li], u, v, cfg, sor_solver)
+        u, v = _level_solve(pyr1[li], pyr2[li], u, v, cfg)
     return u, v
 
 
@@ -245,7 +269,6 @@ def variational_flow_jit(img1_gray, img2_gray, cfg: FlowConfig):
 
 def flow_at_working_scale(
     rgb1_gray_full: jnp.ndarray, rgb2_gray_full: jnp.ndarray, cfg: FlowConfig,
-    sor_solver=sor_solve_jax,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Reference pipeline shape: compute flow at the 0.6x working canvas and
     upsample back to full resolution with magnitude rescale
@@ -254,7 +277,7 @@ def flow_at_working_scale(
     wh, ww = cfg.working_height, cfg.working_width
     g1 = im.resize_bilinear(rgb1_gray_full, (wh, ww))
     g2 = im.resize_bilinear(rgb2_gray_full, (wh, ww))
-    u, v = variational_flow(g1, g2, cfg, sor_solver)
+    u, v = variational_flow(g1, g2, cfg)
     u_full = im.resize_bilinear(u, (H, W)) * (W / ww)
     v_full = im.resize_bilinear(v, (H, W)) * (H / wh)
     return u_full, v_full

@@ -60,6 +60,40 @@ def dlt_homography(src: jnp.ndarray, dst: jnp.ndarray, w: jnp.ndarray) -> jnp.nd
     return H / (H[2, 2] + 1e-12)
 
 
+def dlt4_homography(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
+    """Minimal 4-point homography via an 8x8 linear solve with h33 = 1.
+
+    Much faster than the nullspace eigendecomposition when batched over
+    hundreds of RANSAC hypotheses (LU solve vs QR iteration on TPU). The
+    h33=0 degenerate configuration does not occur for camera-motion
+    homographies near identity; a non-finite result is scored out by RANSAC.
+    src, dst: (4, 2). Returns (3, 3).
+    """
+    # normalize for conditioning
+    ms = jnp.mean(src, axis=0)
+    md = jnp.mean(dst, axis=0)
+    ss = jnp.sqrt(2.0) / (jnp.mean(jnp.linalg.norm(src - ms, axis=-1)) + 1e-9)
+    sd = jnp.sqrt(2.0) / (jnp.mean(jnp.linalg.norm(dst - md, axis=-1)) + 1e-9)
+    sn = (src - ms) * ss
+    dn = (dst - md) * sd
+    x, y = sn[:, 0], sn[:, 1]
+    u, v = dn[:, 0], dn[:, 1]
+    zero = jnp.zeros_like(x)
+    one = jnp.ones_like(x)
+    rows_u = jnp.stack([x, y, one, zero, zero, zero, -u * x, -u * y], axis=-1)
+    rows_v = jnp.stack([zero, zero, zero, x, y, one, -v * x, -v * y], axis=-1)
+    A = jnp.concatenate([rows_u, rows_v], axis=0)            # (8, 8)
+    b = jnp.concatenate([u, v], axis=0)                      # (8,)
+    h = jnp.linalg.solve(A, b)
+    Hn = jnp.concatenate([h, jnp.ones((1,), h.dtype)]).reshape(3, 3)
+    T_s = jnp.array([[1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0]])
+    T_s = T_s.at[0, 0].set(ss).at[1, 1].set(ss).at[0, 2].set(-ss * ms[0]).at[1, 2].set(-ss * ms[1])
+    T_d_inv = jnp.array([[1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0]])
+    T_d_inv = T_d_inv.at[0, 0].set(1.0 / sd).at[1, 1].set(1.0 / sd).at[0, 2].set(md[0]).at[1, 2].set(md[1])
+    H = T_d_inv @ Hn @ T_s
+    return H / (H[2, 2] + 1e-12)
+
+
 def apply_homography(H: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
     """(…, 3, 3) x (N, 2) -> (…, N, 2)."""
     ones = jnp.ones(pts.shape[:-1] + (1,), pts.dtype)
@@ -93,9 +127,8 @@ def ransac_homography(
 
     src4 = src[idx]                                     # (n_hyp, 4, 2)
     dst4 = dst[idx]
-    w4 = jnp.ones((n_hypotheses, 4), src.dtype)
 
-    H_all = jax.vmap(dlt_homography)(src4, dst4, w4)    # (n_hyp, 3, 3)
+    H_all = jax.vmap(dlt4_homography)(src4, dst4)       # (n_hyp, 3, 3)
 
     # score: forward transfer error on all N points
     proj = apply_homography(H_all, src)                 # (n_hyp, N, 2)

@@ -149,18 +149,20 @@ def _window_reduce(img: jnp.ndarray, ksize: int, init, op) -> jnp.ndarray:
 
 
 def dilate(img: jnp.ndarray, ksize: int = 3, iterations: int = 1) -> jnp.ndarray:
-    """Grayscale/binary dilation with a square structuring element."""
-    out = img
-    for _ in range(iterations):
-        out = _window_reduce(out, ksize, -jnp.inf if img.dtype.kind == "f" else jnp.iinfo(img.dtype).min, lax.max)
-    return out
+    """Grayscale/binary dilation with a square structuring element.
+
+    N iterations of a k-window max equal ONE max over the Minkowski-summed
+    window ((k-1)*N+1) — collapsed to a single reduce_window for TPU.
+    """
+    k_eff = (ksize - 1) * iterations + 1
+    init = -jnp.inf if img.dtype.kind == "f" else jnp.iinfo(img.dtype).min
+    return _window_reduce(img, k_eff, init, lax.max)
 
 
 def erode(img: jnp.ndarray, ksize: int = 3, iterations: int = 1) -> jnp.ndarray:
-    out = img
-    for _ in range(iterations):
-        out = _window_reduce(out, ksize, jnp.inf if img.dtype.kind == "f" else jnp.iinfo(img.dtype).max, lax.min)
-    return out
+    k_eff = (ksize - 1) * iterations + 1
+    init = jnp.inf if img.dtype.kind == "f" else jnp.iinfo(img.dtype).max
+    return _window_reduce(img, k_eff, init, lax.min)
 
 
 def dilate_ellipse(img: jnp.ndarray, ksize: int, iterations: int = 1) -> jnp.ndarray:

@@ -1,0 +1,79 @@
+"""Multi-chip scaling of the front-end: data-parallel frame batches on a mesh.
+
+The reference's only parallelism is 4 CPU threads + OpenMP rows + ROS pub/sub
+(SURVEY.md §2.5); its natural TPU-native scaling axis is the frame stream:
+dynamic-mask computation for frame pairs is embarrassingly parallel (the
+temporal state — previous masks/labels — is an accuracy warm-start, not a
+correctness dependency), so bulk mask precompute / multi-camera rigs /
+multi-sequence evaluation shard the batch axis across chips over ICI.
+
+``batch_frontend_step`` is the jitted, mesh-sharded "training step" analogue:
+one step = flow + re-clustering + residual masking + masked ORB for B frame
+pairs, sharded B/n per device. All collectives are inserted by XLA from the
+sharding annotations (GSPMD); nothing here is device-count specific.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from sindslam_tpu.config import SystemConfig
+from sindslam_tpu.frontend.clustering import seg_by_kmeans
+from sindslam_tpu.frontend.edges import cal_occluded
+from sindslam_tpu.frontend.flow_mask import flow_residual_mask
+from sindslam_tpu.frontend.fusion import fuse_masks
+from sindslam_tpu.frontend.orb import extract_orb
+from sindslam_tpu.frontend.rag_merge import rag_merge
+from sindslam_tpu.ops import flow as flow_ops
+from sindslam_tpu.ops import image as im
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(devs[:n], (axis,))
+
+
+def _single_pair(rgb, rgb_prev, depth, key, cfg: SystemConfig):
+    """Stateless per-pair front-end (no temporal warm start)."""
+    gray = im.rgb_to_gray(rgb)
+    gray_prev = im.rgb_to_gray(rgb_prev)
+    valid = (depth > 0.05) & (depth <= cfg.dyna.max_depth_m)
+
+    u, v = flow_ops.flow_at_working_scale(gray, gray_prev, cfg.flow)
+    kml, _ = seg_by_kmeans(depth, cfg.camera, cfg.dyna, None)
+    er = cal_occluded(depth, cfg.camera, cfg.dyna)
+    rr = rag_merge(kml, er.occluded1, er.occluded2, er.total_area, depth, cfg.dyna)
+    fm = flow_residual_mask(u, v, jnp.ones_like(gray), valid, cfg.dyna, key)
+    fu = fuse_masks(fm.low_mask, fm.high_mask, jnp.zeros_like(valid),
+                    rr.label_img, valid, cfg.dyna)
+    feats = extract_orb(gray, fu.dyna_mask, cfg.orb,
+                        height=cfg.camera.height, width=cfg.camera.width)
+    return fu.dyna_mask, rr.label_img, feats
+
+
+def batch_frontend_step(mesh: Mesh, cfg: SystemConfig):
+    """Build the mesh-sharded batched step.
+
+    Returns a jitted fn: (rgbs (B, H, W, 3), rgbs_prev, depths (B, H, W),
+    keys (B, 2) uint32) -> (masks (B, H, W), labels (B, H, W), features).
+    B must be divisible by the mesh's data-axis size.
+    """
+    data_sharding = NamedSharding(mesh, P("data"))
+
+    vmapped = jax.vmap(_single_pair, in_axes=(0, 0, 0, 0, None))
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=("cfg_",),
+        in_shardings=(data_sharding, data_sharding, data_sharding, data_sharding),
+    )
+    def step(rgbs, rgbs_prev, depths, keys, cfg_: SystemConfig = cfg):
+        return vmapped(rgbs, rgbs_prev, depths, keys, cfg_)
+
+    return step
