@@ -37,6 +37,8 @@ def main() -> int:
     ap.add_argument("--out", default="CameraTrajectory.txt")
     ap.add_argument("--dyna", action="store_true",
                     help="enable dynamic-region detection (DynaDetect)")
+    ap.add_argument("--slam", action="store_true",
+                    help="full SLAM (keyframes + local BA) instead of odometry")
     ap.add_argument("--n-features", type=int, default=1000)
     ap.add_argument("--eval-ate", action="store_true",
                     help="evaluate ATE against ground truth when available")
@@ -88,6 +90,12 @@ def main() -> int:
 
         dyna = DynaDetector(cfg)
 
+    if args.slam:
+        from sindslam_tpu.slam.system import SlamSystem
+
+        slam = SlamSystem(cfg)
+    else:
+        slam = None
     tracker = OdometryTracker(cam, cfg.tracking)
     zero_mask = jnp.zeros((cam.height, cam.width), jnp.int32)
 
@@ -108,18 +116,31 @@ def main() -> int:
         feats = orb.extract_orb(g, mask, ocfg,
                                 height=cam.height, width=cam.width)
         frame = build_frame(feats, d, cam, ts)
-        Tcw, info = tracker.track(frame)
+        if slam is not None:
+            Tcw, is_kf = slam.track_frame(frame, ts)
+            info = {"n_matches": -1, "n_inliers": -1, "kf": is_kf}
+        else:
+            Tcw, info = tracker.track(frame)
         t_track += time.time() - t1
         t_total += time.time() - t0
         timestamps.append(ts)
         poses_twc.append(np.linalg.inv(Tcw))
         n_done += 1
-        if n_done % 10 == 0 or tracker.lost:
-            state = "LOST" if tracker.lost else "ok"
-            print(f"[{n_done}] t={ts:.3f} {state} matches={info['n_matches']} "
-                  f"inliers={info['n_inliers']}", flush=True)
+        lost = slam.lost if slam is not None else tracker.lost
+        if n_done % 10 == 0 or lost:
+            state = "LOST" if lost else "ok"
+            print(f"[{n_done}] t={ts:.3f} {state} {info}", flush=True)
 
-    write_tum_trajectory(args.out, np.array(timestamps), np.stack(poses_twc))
+    if slam is not None:
+        slam.shutdown()
+        slam.save_trajectory_tum(args.out)
+        slam.save_keyframe_trajectory_tum(args.out.replace(".txt", "") + "_keyframes.txt")
+        ts_arr, poses = slam.trajectory()
+        poses_twc = list(poses)
+        print(f"keyframes: {len(slam.map.keyframes)}, "
+              f"map points: {int(slam.map.valid.sum())}")
+    else:
+        write_tum_trajectory(args.out, np.array(timestamps), np.stack(poses_twc))
     print(f"tracked {n_done} frames | mean/frame: total {1000*t_total/n_done:.1f} ms"
           + (f" (detect {1000*t_detect/n_done:.1f} ms, track {1000*t_track/n_done:.1f} ms)"
              if dyna else "")

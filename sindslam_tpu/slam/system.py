@@ -1,0 +1,270 @@
+"""System facade: the full SLAM pipeline behind one TrackRGBD-style API.
+
+The TPU re-design of the reference's ``ORB_SLAM2::System``
+(``src/System.cc``): the same public surface —
+``track_rgbd(rgb, depth, dyna_mask, label, t) -> (Tcw, is_keyframe)``,
+``save_trajectory_tum``, ``save_keyframe_trajectory_tum``, ``shutdown`` —
+but instead of four mutex-coupled threads (Tracking / LocalMapping /
+LoopClosing / Viewer, ``System.cc:84-103``), the device work per frame is a
+handful of fused dispatches and the map bookkeeping runs on the host between
+them (optionally on the C++ runtime's background executor).
+
+Trajectory bookkeeping mirrors the reference (``Tracking.cc:526-533``): each
+frame stores its pose RELATIVE to its reference keyframe, so local-BA /
+loop-closing updates of keyframe poses propagate into the final trajectory
+(``System::SaveTrajectoryTUM``, ``System.cc:373``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from sindslam_tpu.config import SystemConfig
+from sindslam_tpu.frontend import orb
+from sindslam_tpu.geometry import se3
+from sindslam_tpu.slam import matching
+from sindslam_tpu.slam.frame import FrameData, build_frame, project_world_points, unproject_to_world
+from sindslam_tpu.slam.local_map import LocalMap
+from sindslam_tpu.slam.optimizer import pose_optimization
+from sindslam_tpu.slam.tracking import track_against_frame
+
+
+@dataclass
+class _FrameRecord:
+    timestamp: float
+    ref_kf_id: int
+    T_rel: np.ndarray     # Tcw_frame @ inv(Tcw_refkf) at track time
+    lost: bool
+
+
+class SlamSystem:
+    """Tracking + local mapping (+ relocalization/loop closing when the BoW
+    module is attached)."""
+
+    def __init__(self, cfg: SystemConfig):
+        self.cfg = cfg
+        self.cam = cfg.camera
+        self.tcfg = cfg.tracking
+        self.map = LocalMap(self.cam, self.tcfg)
+        self.records: List[_FrameRecord] = []
+        self.prev_frame: Optional[FrameData] = None
+        self.Tcw = np.eye(4, dtype=np.float32)
+        self.velocity = np.eye(4, dtype=np.float32)
+        self.frames_since_kf = 0
+        self.ref_tracked = 0
+        self.lost = False
+        self.relocalizer = None   # set by attach_relocalizer (BoW database)
+        self._frame_count = 0
+
+    # ------------------------------------------------------------ tracking
+
+    def track_rgbd(self, rgb: jnp.ndarray, depth: jnp.ndarray,
+                   dyna_mask: Optional[jnp.ndarray] = None,
+                   label: Optional[jnp.ndarray] = None,
+                   timestamp: float = 0.0) -> Tuple[np.ndarray, bool]:
+        """Track one RGB-D frame. Returns (Tcw (4, 4), inserted_keyframe)."""
+        if dyna_mask is None:
+            dyna_mask = jnp.zeros((self.cam.height, self.cam.width), jnp.int32)
+        gray = rgb if rgb.ndim == 2 else None
+        from sindslam_tpu.ops import image as im
+
+        g = im.rgb_to_gray(rgb) if gray is None else rgb
+        feats = orb.extract_orb(g, dyna_mask, self.cfg.orb,
+                                height=self.cam.height, width=self.cam.width)
+        frame = build_frame(feats, depth, self.cam, timestamp)
+        return self.track_frame(frame, timestamp)
+
+    def track_frame(self, frame: FrameData, timestamp: float
+                    ) -> Tuple[np.ndarray, bool]:
+        self._frame_count += 1
+        is_kf = False
+        if not self.map.keyframes:
+            self._initialize(frame, timestamp)
+            return self.Tcw.copy(), True
+
+        # 1) motion-model tracking against the previous frame
+        Tcw_pred = (self.velocity @ self.Tcw).astype(np.float32)
+        prev_Twc = np.linalg.inv(self.Tcw).astype(np.float32)
+        res = track_against_frame(self.prev_frame, jnp.asarray(prev_Twc),
+                                  frame, jnp.asarray(Tcw_pred),
+                                  self.cam, self.tcfg,
+                                  radius=self.tcfg.search_radius_fine)
+        n_inl = int(res.n_inliers)
+        Tcw_cur = np.asarray(res.Tcw)
+        if n_inl < self.tcfg.min_tracked_points:
+            res = track_against_frame(self.prev_frame, jnp.asarray(prev_Twc),
+                                      frame, jnp.asarray(self.Tcw),
+                                      self.cam, self.tcfg,
+                                      radius=self.tcfg.search_radius_coarse)
+            n_inl = int(res.n_inliers)
+            Tcw_cur = np.asarray(res.Tcw)
+
+        if n_inl < self.tcfg.min_tracked_points and self.relocalizer is not None:
+            reloc = self.relocalizer.relocalize(frame, self)
+            if reloc is not None:
+                Tcw_cur, n_inl = reloc
+
+        if n_inl < self.tcfg.min_tracked_points:
+            # lost: extrapolate, record, and wait for relocalization
+            self.lost = True
+            self.Tcw = Tcw_pred
+            self._record(timestamp)
+            self.prev_frame = frame
+            return self.Tcw.copy(), False
+        self.lost = False
+
+        # 2) track the local map: project local points into the refined pose
+        pos, desc, ok, ids = self.map.local_point_tensors()
+        m, opt = self._match_and_optimize_map(frame, Tcw_cur, pos, desc, ok)
+        if int(opt.n_inliers) >= self.tcfg.min_tracked_points:
+            Tcw_cur = np.asarray(opt.Tcw)
+            matched_ids = np.where(np.asarray(m.valid))[0]
+            n_map = int(opt.n_inliers)
+        else:
+            matched_ids = np.array([], np.int64)
+            n_map = n_inl
+
+        # bookkeeping for found-ratio culling
+        proj_uv, in_front = project_world_points(
+            jnp.asarray(self.map.pos[ids.clip(0)]), jnp.asarray(Tcw_cur), self.cam)
+        vis = np.asarray(in_front) & (ids >= 0)
+        self.map.n_visible[ids[vis]] += 1
+        inl_mask = np.asarray(opt.inliers) if int(opt.n_inliers) > 0 else None
+
+        # 3) velocity + keyframe policy
+        self.velocity = (Tcw_cur @ np.linalg.inv(self.Tcw)).astype(np.float32)
+        self.Tcw = Tcw_cur.astype(np.float32)
+        self.frames_since_kf += 1
+
+        need_kf = (
+            self.frames_since_kf >= self.tcfg.max_frames_between_kf
+            or (n_map < self.tcfg.kf_ref_ratio * max(self.ref_tracked, 1)
+                and self.frames_since_kf > self.tcfg.min_frames_between_kf
+                and n_map > self.tcfg.min_tracked_points)
+        )
+        if need_kf:
+            self._insert_keyframe(frame, m, ids, inl_mask, timestamp)
+            self.ref_tracked = n_map
+            self.frames_since_kf = 0
+            is_kf = True
+
+        self._record(timestamp)
+        self.prev_frame = frame
+        return self.Tcw.copy(), is_kf
+
+    # ------------------------------------------------------------ helpers
+
+    def _match_and_optimize_map(self, frame, Tcw, pos, desc, ok):
+        proj_uv, in_frustum = project_world_points(pos, jnp.asarray(Tcw), self.cam)
+        proj_ok = ok & in_frustum
+        lvl0 = jnp.zeros(pos.shape[0], jnp.int32)
+        m = matching.match_by_projection(
+            proj_uv, proj_ok, desc, lvl0,
+            frame.xy, frame.desc, frame.level, frame.valid,
+            radius=self.tcfg.search_radius_fine,
+            max_dist=self.tcfg.hamming_th_high, level_tolerance=8)
+        tgt = jnp.maximum(m.idx, 0)
+        opt = pose_optimization(
+            jnp.asarray(Tcw.astype(np.float32)), pos,
+            frame.xy[tgt], jnp.where(m.valid, frame.ur[tgt], -1.0),
+            frame.level[tgt], m.valid, self.cam, self.tcfg)
+        return m, opt
+
+    def _initialize(self, frame: FrameData, timestamp: float) -> None:
+        """RGB-D initialization: every valid-depth keypoint becomes a map
+        point (reference Tracking::StereoInitialization)."""
+        self.Tcw = np.eye(4, dtype=np.float32)
+        pts_w = np.asarray(unproject_to_world(frame, jnp.eye(4), self.cam))
+        valid = np.asarray(frame.valid & (frame.depth > 0))
+        descs = np.asarray(frame.desc)
+        idx = np.where(valid)[0]
+        ids = self.map.allocate_points(pts_w[idx], descs[idx], 0)
+        point_ids = np.full(frame.xy.shape[0], -1, np.int64)
+        point_ids[idx] = ids
+        self.map.insert_keyframe(frame, self.Tcw, point_ids, timestamp)
+        self.prev_frame = frame
+        self.ref_tracked = len(idx)
+        self._record(timestamp)
+
+    def _insert_keyframe(self, frame: FrameData, map_matches, map_ids,
+                         inl_mask, timestamp: float) -> None:
+        N = frame.xy.shape[0]
+        point_ids = np.full(N, -1, np.int64)
+
+        # keypoints matched to existing map points keep them
+        if map_matches is not None:
+            mv = np.asarray(map_matches.valid)
+            tgt = np.asarray(map_matches.idx)
+            for src_i in np.where(mv)[0]:
+                pid = map_ids[src_i]
+                if pid >= 0:
+                    kp = tgt[src_i]
+                    point_ids[kp] = pid
+                    self.map.n_found[pid] += 1
+
+        # unmatched keypoints with valid depth spawn new points
+        valid = np.asarray(frame.valid & (frame.depth > 0))
+        depth = np.asarray(frame.depth)
+        close = depth < (self.cam.th_depth * self.cam.baseline)
+        new_idx = np.where(valid & close & (point_ids < 0))[0]
+        if len(new_idx):
+            Twc = np.linalg.inv(self.Tcw)
+            pts_w = np.asarray(unproject_to_world(
+                frame, jnp.asarray(Twc.astype(np.float32)), self.cam))
+            ids = self.map.allocate_points(pts_w[new_idx],
+                                           np.asarray(frame.desc)[new_idx],
+                                           len(self.map.keyframes))
+            point_ids[new_idx] = ids
+
+        self.map.insert_keyframe(frame, self.Tcw, point_ids, timestamp)
+        self.map.cull_points(len(self.map.keyframes) - 1)
+        self.map.run_local_ba()
+        # adopt the BA-refined pose of the newest keyframe
+        self.Tcw = self.map.keyframes[-1].Tcw.astype(np.float32)
+
+    def _record(self, timestamp: float) -> None:
+        ref = self.map.keyframes[-1] if self.map.keyframes else None
+        ref_id = ref.kf_id if ref else 0
+        ref_Tcw = ref.Tcw if ref else np.eye(4)
+        T_rel = self.Tcw @ np.linalg.inv(ref_Tcw)
+        self.records.append(_FrameRecord(timestamp, ref_id, T_rel, self.lost))
+
+    # --------------------------------------------------------------- IO
+
+    def trajectory(self) -> Tuple[np.ndarray, np.ndarray]:
+        """(timestamps (F,), Twc (F, 4, 4)) with keyframe-relative replay."""
+        ts, poses = [], []
+        for rec in self.records:
+            ref = self.map.keyframes[rec.ref_kf_id]
+            Tcw = rec.T_rel @ ref.Tcw
+            ts.append(rec.timestamp)
+            poses.append(np.linalg.inv(Tcw))
+        return np.array(ts), np.stack(poses) if poses else np.zeros((0, 4, 4))
+
+    def keyframe_trajectory(self) -> Tuple[np.ndarray, np.ndarray]:
+        ts = np.array([kf.timestamp for kf in self.map.keyframes])
+        poses = np.stack([np.linalg.inv(kf.Tcw) for kf in self.map.keyframes]) \
+            if self.map.keyframes else np.zeros((0, 4, 4))
+        return ts, poses
+
+    def save_trajectory_tum(self, path: str) -> None:
+        from sindslam_tpu.datasets.tum import write_tum_trajectory
+
+        ts, poses = self.trajectory()
+        write_tum_trajectory(path, ts, poses)
+
+    def save_keyframe_trajectory_tum(self, path: str) -> None:
+        from sindslam_tpu.datasets.tum import write_tum_trajectory
+
+        ts, poses = self.keyframe_trajectory()
+        write_tum_trajectory(path, ts, poses)
+
+    def shutdown(self) -> None:
+        """Final global refinement pass over the whole keyframe set (the
+        reference leaves this to LoopClosing's GBA; here a windowed sweep)."""
+        self.map.run_local_ba()

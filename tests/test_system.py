@@ -1,0 +1,72 @@
+"""End-to-end SLAM system test: full tracking + local mapping + BA on the
+synthetic scene, with ATE and keyframe-machinery checks."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from sindslam_tpu.config import CameraConfig, ORBConfig, SystemConfig, TrackingConfig
+from sindslam_tpu.datasets.synthetic import generate_sequence
+from sindslam_tpu.evaluation import evaluate_ate
+from sindslam_tpu.slam.system import SlamSystem
+
+CAM = CameraConfig(cx=319.5, cy=239.5)
+
+
+def _run_system(frames, cfg):
+    sys = SlamSystem(cfg)
+    n_kf = 0
+    for rgb, depth, dyn, pose_wc, t in frames:
+        Tcw, is_kf = sys.track_rgbd(jnp.asarray(rgb), jnp.asarray(depth),
+                                    timestamp=t)
+        n_kf += int(is_kf)
+        assert not sys.lost, f"lost at t={t}"
+    return sys, n_kf
+
+
+@pytest.mark.slow
+def test_slam_system_static_scene():
+    cfg = SystemConfig(
+        camera=CAM,
+        orb=ORBConfig(n_features=800, n_levels=4),
+        tracking=TrackingConfig(ba_max_keyframes=8, ba_max_points=2048,
+                                max_frames_between_kf=4),
+    )
+    frames = list(generate_sequence(n_frames=10, seed=1, with_dynamic=False,
+                                    amplitude=0.06))
+    sys, n_kf = _run_system(frames, cfg)
+
+    assert n_kf >= 2                       # keyframe machinery engaged
+    assert sys.map.valid.sum() > 500       # map populated
+    ts, poses = sys.trajectory()
+    gt = np.stack([f[3][:3, 3] for f in frames])
+    res = evaluate_ate(np.array([f[4] for f in frames]), gt,
+                       ts, poses[:, :3, 3])
+    assert res.rmse < 0.02, str(res)
+
+    # keyframe trajectory is a subset with sane poses
+    kts, kposes = sys.keyframe_trajectory()
+    assert len(kts) == n_kf                # init frame counts as a keyframe
+    assert np.isfinite(kposes).all()
+
+
+@pytest.mark.slow
+def test_slam_system_trajectory_io(tmp_path):
+    cfg = SystemConfig(
+        camera=CAM,
+        orb=ORBConfig(n_features=600, n_levels=4),
+        tracking=TrackingConfig(ba_max_keyframes=6, ba_max_points=2048,
+                                max_frames_between_kf=3),
+    )
+    frames = list(generate_sequence(n_frames=6, seed=2, with_dynamic=False,
+                                    amplitude=0.05))
+    sys, _ = _run_system(frames, cfg)
+    sys.shutdown()
+    p1 = tmp_path / "traj.txt"
+    p2 = tmp_path / "kf.txt"
+    sys.save_trajectory_tum(str(p1))
+    sys.save_keyframe_trajectory_tum(str(p2))
+    lines = p1.read_text().strip().splitlines()
+    assert len(lines) == 6
+    assert len(lines[0].split()) == 8
