@@ -133,6 +133,17 @@ def se3_inverse(T: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+def adjoint(T: jnp.ndarray) -> jnp.ndarray:
+    """SE(3) adjoint for the [rho, phi] tangent ordering:
+    Adj(T) = [[R, hat(t) R], [0, R]], shape (..., 6, 6)."""
+    R = T[..., :3, :3]
+    t = T[..., :3, 3]
+    tR = _mm(hat(t), R)
+    top = jnp.concatenate([R, tR], axis=-1)
+    bot = jnp.concatenate([jnp.zeros_like(R), R], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
 def transform_points(T: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
     """Apply (..., 4, 4) transform to (..., N, 3) points."""
     R = T[..., :3, :3]

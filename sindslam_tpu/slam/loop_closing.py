@@ -1,0 +1,277 @@
+"""Relocalization and loop closing on top of the BoW database.
+
+Re-designs the reference's ``LoopClosing`` thread + ``Tracking::
+Relocalization`` (``ORB_SLAM2/src/LoopClosing.cc``, ``Tracking.cc:357``,
+``PnPsolver.cc``, ``Sim3Solver.cc``):
+
+- relocalization: BoW candidates -> mutual descriptor matching against the
+  candidate keyframe's map points -> robust GN pose solve (the EPnP+RANSAC
+  role is covered by a batched 3-point rigid RANSAC init + GN refine, since
+  RGB-D keypoints carry depth);
+- loop detection: BoW similarity with a covisibility-consistency window and
+  a recent-keyframe exclusion (``LoopClosing::DetectLoop``);
+- loop correction: 3D-3D correspondences between the matched keyframes ->
+  batched Umeyama/Horn RANSAC for the relative SE3 (the reference's
+  Sim3Solver with fixed scale for RGB-D) -> SE(3) pose-graph optimization
+  over the keyframe backbone (sequential + covisibility edges + the loop
+  edge) -> map points re-anchored to their reference keyframes
+  (``LoopClosing::CorrectLoop``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from sindslam_tpu.config import SystemConfig
+from sindslam_tpu.geometry import se3
+from sindslam_tpu.slam import matching
+from sindslam_tpu.slam.bow import KeyFrameDatabase, Vocabulary, train_vocabulary
+from sindslam_tpu.slam.frame import FrameData, unproject_to_world
+from sindslam_tpu.slam.local_map import KeyFrame, LocalMap
+from sindslam_tpu.slam.optimizer import pose_optimization
+from sindslam_tpu.slam.pose_graph import PoseGraph, optimize_pose_graph
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def rigid_from_pairs(pa: jnp.ndarray, pb: jnp.ndarray, w: jnp.ndarray
+                     ) -> jnp.ndarray:
+    """Weighted Horn alignment: find T (4, 4) with pb ~ T pa. Batched-safe."""
+    wsum = jnp.sum(w) + 1e-9
+    ca = jnp.sum(pa * w[:, None], 0) / wsum
+    cb = jnp.sum(pb * w[:, None], 0) / wsum
+    A = (pa - ca) * w[:, None]
+    B = pb - cb
+    W = jnp.matmul(A.T, B, precision=_HI)
+    U, _, Vt = jnp.linalg.svd(W)
+    d = jnp.sign(jnp.linalg.det(jnp.matmul(Vt.T, U.T, precision=_HI)))
+    D = jnp.diag(jnp.array([1.0, 1.0, 1.0]) * jnp.array([1.0, 1.0, 1.0])).at[2, 2].set(d)
+    R = jnp.matmul(jnp.matmul(Vt.T, D, precision=_HI), U.T, precision=_HI)
+    t = cb - R @ ca
+    T = jnp.eye(4).at[:3, :3].set(R).at[:3, 3].set(t)
+    return T
+
+
+@functools.partial(jax.jit, static_argnames=("n_hyp",))
+def ransac_rigid(pa: jnp.ndarray, pb: jnp.ndarray, valid: jnp.ndarray,
+                 key: jax.Array, thresh: float = 0.10, n_hyp: int = 256
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched 3-point rigid RANSAC: pb ~ T pa. Returns (T, inliers)."""
+    n = pa.shape[0]
+    logw = jnp.log(valid.astype(jnp.float32) + 1e-12)
+    g = jax.random.gumbel(key, (n_hyp, n)) + logw[None]
+    _, idx = jax.lax.top_k(g, 3)
+    w3 = jnp.ones((n_hyp, 3))
+    T_all = jax.vmap(rigid_from_pairs)(pa[idx], pb[idx], w3)
+    proj = se3.transform_points(T_all, pa[None].repeat(n_hyp, 0))
+    err = jnp.linalg.norm(proj - pb[None], axis=-1)
+    inl = (err < thresh) & valid[None]
+    finite = jnp.all(jnp.isfinite(T_all), axis=(-1, -2))
+    score = jnp.sum(inl, -1) * finite
+    best = jnp.argmax(score)
+    # refit on inliers
+    T_ref = rigid_from_pairs(pa, pb, inl[best].astype(jnp.float32))
+    proj_r = se3.transform_points(T_ref[None], pa[None])[0]
+    inl_r = (jnp.linalg.norm(proj_r - pb, axis=-1) < thresh) & valid
+    better = (jnp.sum(inl_r) >= score[best]) & jnp.all(jnp.isfinite(T_ref))
+    T_out = jnp.where(better, T_ref, T_all[best])
+    return T_out, jnp.where(better, inl_r, inl[best])
+
+
+class Relocalizer:
+    """BoW-backed relocalization + loop detection + loop correction."""
+
+    def __init__(self, cfg: SystemConfig, vocab: Optional[Vocabulary] = None):
+        self.cfg = cfg
+        self.vocab = vocab
+        self.db: Optional[KeyFrameDatabase] = \
+            KeyFrameDatabase(vocab) if vocab else None
+        self._kf_words: dict = {}
+        self._pending_descs: List[np.ndarray] = []
+        self._pending_kfs: List[KeyFrame] = []
+        self._key = jax.random.PRNGKey(42)
+        self.loops_closed = 0
+
+    # ------------------------------------------------------------ vocab
+
+    def ensure_vocab(self, min_descs: int = 4000) -> bool:
+        """Train the vocabulary online once enough descriptors accumulated."""
+        if self.vocab is not None:
+            return True
+        total = sum(len(d) for d in self._pending_descs)
+        if total < min_descs:
+            return False
+        corpus = np.concatenate(self._pending_descs)[:20000]
+        self.vocab = train_vocabulary(corpus, k=8, levels=3)
+        self.db = KeyFrameDatabase(self.vocab)
+        self._pending_descs = []
+        return True
+
+    def add_keyframe(self, kf: KeyFrame) -> None:
+        desc = np.asarray(kf.frame.desc)
+        valid = np.asarray(kf.frame.valid)
+        if self.vocab is None:
+            self._pending_descs.append(desc[valid])
+            self._pending_kfs.append(kf)
+            if not self.ensure_vocab():
+                return
+            # vocabulary just became available: backfill every keyframe seen
+            # before training finished (the reference ships a pre-trained
+            # ORBvoc blob; ours warms up within the first seconds)
+            for old in self._pending_kfs:
+                self._index(old)
+            self._pending_kfs = []
+            return
+        self._index(kf)
+
+    def _index(self, kf: KeyFrame) -> None:
+        words = self.vocab.quantize(kf.frame.desc, kf.frame.valid)
+        self._kf_words[kf.kf_id] = words
+        self.db.add(kf.kf_id, words)
+
+    # ----------------------------------------------------- relocalization
+
+    def relocalize(self, frame: FrameData, system) -> Optional[Tuple[np.ndarray, int]]:
+        """Try to relocalize a lost frame. Returns (Tcw, n_inliers) or None."""
+        if self.vocab is None or self.db is None:
+            return None
+        desc = np.asarray(frame.desc)
+        valid = np.asarray(frame.valid)
+        words = self.vocab.quantize(jnp.asarray(desc), jnp.asarray(valid))
+        cands = self.db.query(words, top=3)
+        for kf_id, score in cands:
+            kf = system.map.keyframes[kf_id]
+            m = matching.match_mutual_nn(
+                frame.desc, frame.valid, kf.frame.desc, kf.frame.valid,
+                max_dist=self.cfg.tracking.hamming_th_low)
+            mv = np.asarray(m.valid)
+            if mv.sum() < 15:
+                continue
+            # observed map points of the candidate provide 3-D anchors
+            tgt = np.asarray(m.idx)
+            pids = kf.point_ids[tgt.clip(0)]
+            ok = mv & (pids >= 0)
+            ok &= system.map.valid[pids.clip(0)]
+            if ok.sum() < 15:
+                continue
+            pts_w = np.zeros((frame.xy.shape[0], 3), np.float32)
+            pts_w[ok] = system.map.pos[pids[ok]]
+            opt = pose_optimization(
+                jnp.asarray(kf.Tcw.astype(np.float32)), jnp.asarray(pts_w),
+                frame.xy, jnp.where(jnp.asarray(ok), frame.ur, -1.0),
+                frame.level, jnp.asarray(ok), self.cfg.camera,
+                self.cfg.tracking)
+            n_inl = int(opt.n_inliers)
+            if n_inl >= self.cfg.tracking.min_tracked_points:
+                return np.asarray(opt.Tcw), n_inl
+        return None
+
+    # -------------------------------------------------------- loop closing
+
+    def try_close_loop(self, system, min_gap: int = 15,
+                       min_score: float = 0.35, min_inliers: int = 25) -> bool:
+        """Detect + correct a loop against the newest keyframe."""
+        if self.vocab is None or self.db is None or len(system.map.keyframes) < min_gap + 2:
+            return False
+        kf = system.map.keyframes[-1]
+        words = self._kf_words.get(kf.kf_id)
+        if words is None:
+            return False
+        recent = {k.kf_id for k in system.map.keyframes[-min_gap:]}
+        covis = {k.kf_id for k in system.map.covisible_keyframes(kf, k=20,
+                                                                 min_shared=10)}
+        cands = self.db.query(words, exclude=recent | covis, top=3)
+        for cand_id, score in cands:
+            if score < min_score:
+                continue
+            if self._close_with(system, kf, system.map.keyframes[cand_id],
+                                min_inliers):
+                self.loops_closed += 1
+                return True
+        return False
+
+    def _close_with(self, system, kf: KeyFrame, cand: KeyFrame,
+                    min_inliers: int) -> bool:
+        m = matching.match_mutual_nn(
+            kf.frame.desc, kf.frame.valid, cand.frame.desc, cand.frame.valid,
+            max_dist=self.cfg.tracking.hamming_th_low)
+        mv = np.asarray(m.valid)
+        tgt = np.asarray(m.idx)
+        dk = np.asarray(kf.frame.depth)
+        dc = np.asarray(cand.frame.depth)
+        ok = mv & (dk > 0) & (dc[tgt.clip(0)] > 0)
+        if ok.sum() < min_inliers:
+            return False
+        # camera-frame 3-D points on both sides
+        pk = np.asarray(unproject_to_world(kf.frame, jnp.eye(4), self.cfg.camera))
+        pc = np.asarray(unproject_to_world(cand.frame, jnp.eye(4), self.cfg.camera))
+        pa = np.zeros_like(pk)
+        pa[ok] = pk[ok]
+        pb = np.zeros_like(pk)
+        pb[ok] = pc[tgt[ok]]
+        self._key, sub = jax.random.split(self._key)
+        T_rel, inl = ransac_rigid(jnp.asarray(pa), jnp.asarray(pb),
+                                  jnp.asarray(ok), sub)
+        n_inl = int(jnp.sum(inl))
+        if n_inl < min_inliers:
+            return False
+        # loop constraint: points_cand = T_rel points_kf
+        # => Tcw_cand_corrected = T_rel @ Tcw_kf, so edge T_kf_cand:
+        T_rel_np = np.asarray(T_rel)
+        self._apply_pose_graph(system, kf, cand, T_rel_np)
+        return True
+
+    def _apply_pose_graph(self, system, kf: KeyFrame, cand: KeyFrame,
+                          T_rel: np.ndarray) -> None:
+        kfs = system.map.keyframes
+        K = len(kfs)
+        poses = np.stack([k.Tcw for k in kfs]).astype(np.float32)
+        old_poses = poses.copy()
+
+        edges_i, edges_j, edges_T, edges_w = [], [], [], []
+        # sequential (spanning-tree-like) edges from current estimates
+        for a in range(K - 1):
+            edges_i.append(a)
+            edges_j.append(a + 1)
+            edges_T.append(poses[a] @ np.linalg.inv(poses[a + 1]))
+            edges_w.append(1.0)
+        # the loop edge: p_cand = T_rel p_kf  =>  Tcw_cand = T_rel @ Tcw_kf,
+        # so the measured T_ij (i=cand, j=kf) = Tcw_cand inv(Tcw_kf) = T_rel
+        edges_i.append(cand.kf_id)
+        edges_j.append(kf.kf_id)
+        edges_T.append(T_rel)
+        edges_w.append(float(len(edges_i)))   # strong weight for the loop
+
+        graph = PoseGraph(
+            poses=jnp.asarray(poses),
+            edge_i=jnp.asarray(np.array(edges_i, np.int32)),
+            edge_j=jnp.asarray(np.array(edges_j, np.int32)),
+            edge_T=jnp.asarray(np.stack(edges_T).astype(np.float32)),
+            edge_w=jnp.asarray(np.array(edges_w, np.float32)),
+            fixed=jnp.asarray(np.arange(K) == 0),
+        )
+        new_poses = np.asarray(optimize_pose_graph(graph, n_iters=25))
+
+        # re-anchor map points to their creating keyframe's correction
+        # (LoopClosing::CorrectLoop transforms points with their ref KF)
+        corrections = {}
+        for kidx in range(K):
+            corrections[kidx] = (np.linalg.inv(new_poses[kidx]) @ old_poses[kidx])
+        created = system.map.created_kf
+        valid = system.map.valid
+        for kidx in range(K):
+            sel = valid & (created == kidx)
+            if sel.any():
+                C = corrections[kidx]
+                p = system.map.pos[sel]
+                system.map.pos[sel] = p @ C[:3, :3].T + C[:3, 3]
+        for kidx, k in enumerate(kfs):
+            k.Tcw = new_poses[kidx]
+        system.Tcw = kfs[-1].Tcw.astype(np.float32)
+        system.velocity = np.eye(4, dtype=np.float32)

@@ -58,8 +58,14 @@ class SlamSystem:
         self.frames_since_kf = 0
         self.ref_tracked = 0
         self.lost = False
-        self.relocalizer = None   # set by attach_relocalizer (BoW database)
         self._frame_count = 0
+        # BoW place recognition: vocabulary trains itself online from the
+        # first keyframes' descriptors (the reference ships a pre-trained
+        # ORBvoc blob instead; see slam/bow.py)
+        from sindslam_tpu.slam.loop_closing import Relocalizer
+
+        self.relocalizer = Relocalizer(cfg)
+        self.enable_loop_closing = True
 
     # ------------------------------------------------------------ tracking
 
@@ -221,11 +227,15 @@ class SlamSystem:
                                            len(self.map.keyframes))
             point_ids[new_idx] = ids
 
-        self.map.insert_keyframe(frame, self.Tcw, point_ids, timestamp)
+        kf = self.map.insert_keyframe(frame, self.Tcw, point_ids, timestamp)
         self.map.cull_points(len(self.map.keyframes) - 1)
         self.map.run_local_ba()
         # adopt the BA-refined pose of the newest keyframe
         self.Tcw = self.map.keyframes[-1].Tcw.astype(np.float32)
+        if self.relocalizer is not None:
+            self.relocalizer.add_keyframe(kf)
+            if self.enable_loop_closing:
+                self.relocalizer.try_close_loop(self)
 
     def _record(self, timestamp: float) -> None:
         ref = self.map.keyframes[-1] if self.map.keyframes else None
