@@ -39,6 +39,8 @@ def main() -> int:
                     help="enable dynamic-region detection (DynaDetect)")
     ap.add_argument("--slam", action="store_true",
                     help="full SLAM (keyframes + local BA) instead of odometry")
+    ap.add_argument("--map", dest="map_out",
+                    help="build a dense voxel map and save it to this .pcd")
     ap.add_argument("--n-features", type=int, default=1000)
     ap.add_argument("--eval-ate", action="store_true",
                     help="evaluate ATE against ground truth when available")
@@ -96,6 +98,11 @@ def main() -> int:
         slam = SlamSystem(cfg)
     else:
         slam = None
+    mapper = None
+    if args.map_out:
+        from sindslam_tpu.mapping.dense import DenseMapper
+
+        mapper = DenseMapper(cam, cfg.mapping)
     tracker = OdometryTracker(cam, cfg.tracking)
     zero_mask = jnp.zeros((cam.height, cam.width), jnp.int32)
 
@@ -122,6 +129,9 @@ def main() -> int:
         else:
             Tcw, info = tracker.track(frame)
         t_track += time.time() - t1
+        if mapper is not None and n_done % cfg.mapping.keyframe_decimation == 0:
+            lbl = label if dyna is not None else jnp.zeros_like(mask)
+            mapper.insert_keyframe(jnp.asarray(rgb), d, mask, lbl, Tcw)
         t_total += time.time() - t0
         timestamps.append(ts)
         poses_twc.append(np.linalg.inv(Tcw))
@@ -145,6 +155,12 @@ def main() -> int:
           + (f" (detect {1000*t_detect/n_done:.1f} ms, track {1000*t_track/n_done:.1f} ms)"
              if dyna else "")
           + f" | trajectory -> {args.out}")
+
+    if mapper is not None:
+        mapper.save_pcd(args.map_out)
+        centers, _ = mapper.export_cloud()
+        print(f"dense map: {len(centers)} occupied voxels -> {args.map_out}")
+        mapper.close()
 
     if args.eval_ate:
         from sindslam_tpu.evaluation import evaluate_ate
