@@ -1,0 +1,95 @@
+"""Tests for the eval CLI tools, viewer, and shipped camera configs."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV = dict(os.environ, JAX_PLATFORMS="cpu", JAX_PLATFORM_NAME="cpu",
+           PYTHONPATH=REPO + ":" + os.environ.get("PYTHONPATH", ""))
+
+
+def _write_traj(path, ts, xyz):
+    with open(path, "w") as f:
+        for t, p in zip(ts, xyz):
+            f.write(f"{t:.6f} {p[0]:.6f} {p[1]:.6f} {p[2]:.6f} 0 0 0 1\n")
+
+
+def test_evaluate_ate_cli(tmp_path):
+    rng = np.random.default_rng(0)
+    ts = np.arange(50) / 30.0
+    gt = np.cumsum(rng.normal(0, 0.01, (50, 3)), axis=0)
+    est = gt + rng.normal(0, 0.004, gt.shape)
+    _write_traj(tmp_path / "gt.txt", ts, gt)
+    _write_traj(tmp_path / "est.txt", ts, est)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples/evaluate_ate.py"),
+         str(tmp_path / "gt.txt"), str(tmp_path / "est.txt"), "--verbose"],
+        capture_output=True, text=True, env=ENV)
+    assert out.returncode == 0, out.stderr
+    assert "ATE rmse=" in out.stdout
+
+
+def test_evaluate_rpe_cli(tmp_path):
+    ts = np.arange(60) / 30.0
+    xyz = np.stack([np.linspace(0, 2, 60), np.zeros(60), np.zeros(60)], -1)
+    _write_traj(tmp_path / "gt.txt", ts, xyz)
+    _write_traj(tmp_path / "est.txt", ts, xyz)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples/evaluate_rpe.py"),
+         str(tmp_path / "gt.txt"), str(tmp_path / "est.txt"),
+         "--delta", "1", "--delta_unit", "f"],
+        capture_output=True, text=True, env=ENV)
+    assert out.returncode == 0, out.stderr
+    trans, rot = map(float, out.stdout.split())
+    assert trans < 1e-6 and rot < 1e-4
+
+
+def test_associate_cli(tmp_path):
+    with open(tmp_path / "a.txt", "w") as f:
+        f.write("# c\n1.00 rgb/1.png\n2.00 rgb/2.png\n")
+    with open(tmp_path / "b.txt", "w") as f:
+        f.write("1.033 depth/1.png\n2.031 depth/2.png\n")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples/associate.py"),
+         str(tmp_path / "a.txt"), str(tmp_path / "b.txt"),
+         "--offset", "-0.033"],
+        capture_output=True, text=True, env=ENV)
+    assert out.returncode == 0, out.stderr
+    lines = out.stdout.strip().splitlines()
+    assert len(lines) == 2
+    assert "rgb/1.png" in lines[0] and "depth/1.png" in lines[0]
+
+
+def test_shipped_configs_load():
+    from sindslam_tpu.config import system_config_from_yaml
+
+    for name, fx, factor in [("tum1.yaml", 517.306408, 5000.0),
+                             ("tum2.yaml", 520.908620, 5208.0),
+                             ("tum3.yaml", 535.4, 5000.0),
+                             ("bonn.yaml", 542.822841, 5000.0),
+                             ("realsense_d435.yaml", 615.0, 1000.0),
+                             ("realsense_d455.yaml", 631.0, 1000.0)]:
+        cfg = system_config_from_yaml(os.path.join(REPO, "configs", name))
+        assert cfg.camera.fx == fx, name
+        assert cfg.camera.depth_factor == factor, name
+
+
+def test_viewer_renders(tmp_path, synthetic_frames):
+    from sindslam_tpu.viz import viewer
+
+    rgb, depth, dyn, pose, t = synthetic_frames[0]
+    mask = np.where(dyn, 255, 125)
+    kp = np.array([[100.0, 100.0], [300.0, 200.0]])
+    viewer.draw_frame_overlay(rgb, kp, np.array([True, True]), mask,
+                              str(tmp_path / "frame.png"))
+    viewer.draw_mask(mask, str(tmp_path / "mask.png"))
+    traj = np.stack([np.eye(4)] * 5)
+    traj[:, 0, 3] = np.arange(5) * 0.1
+    pts = np.random.default_rng(0).uniform(-1, 1, (1000, 3))
+    viewer.draw_map(traj, str(tmp_path / "map.png"), points_xyz=pts)
+    for f in ["frame.png", "mask.png", "map.png"]:
+        assert os.path.getsize(tmp_path / f) > 2000
