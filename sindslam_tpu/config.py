@@ -96,6 +96,10 @@ class FlowConfig:
     # Pallas kernel and are nearly free. So the budget leans on inner/sweeps
     # rather than the reference CUDA solver's 77 outer warps.
     outer_iterations: int = 3  # warp + lagged-nonlinearity updates per level
+    # the finest levels only refine subpixel residuals, so they get fewer
+    # warps (each warp at full working res is the most expensive gather)
+    outer_iterations_fine: int = 2
+    n_fine_levels: int = 2
     inner_iterations: int = 6  # linearization updates per outer (in-kernel)
     solver_iterations: int = 10  # red-black relaxation sweeps per inner
     sor_omega: float = 1.9

@@ -173,6 +173,7 @@ def _level_solve(
     i1: jnp.ndarray, i2: jnp.ndarray,
     u: jnp.ndarray, v: jnp.ndarray,
     cfg: FlowConfig,
+    n_outer: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Solve one pyramid level: warp, linearize, inner solve; repeat outer
     times. The inner solve (lagged nonlinearity + SOR) dispatches to a single
@@ -209,7 +210,8 @@ def _level_solve(
         v_new = im.median_filter(v + dv, 3)
         return (u_new, v_new), None
 
-    (u, v), _ = lax.scan(outer_step, (u, v), None, length=cfg.outer_iterations)
+    (u, v), _ = lax.scan(outer_step, (u, v), None,
+                         length=n_outer or cfg.outer_iterations)
     return u, v
 
 
@@ -258,7 +260,9 @@ def variational_flow(
             sv = lh / u.shape[0]
             u = im.resize_bilinear(u, (lh, lw)) * su
             v = im.resize_bilinear(v, (lh, lw)) * sv
-        u, v = _level_solve(pyr1[li], pyr2[li], u, v, cfg)
+        n_outer = (cfg.outer_iterations_fine if li < cfg.n_fine_levels
+                   else cfg.outer_iterations)
+        u, v = _level_solve(pyr1[li], pyr2[li], u, v, cfg, n_outer)
     return u, v
 
 

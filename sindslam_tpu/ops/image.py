@@ -103,13 +103,14 @@ def warp_bilinear(img: jnp.ndarray, coords_y: jnp.ndarray, coords_x: jnp.ndarray
 
     flat = img.reshape(h * w, *img.shape[2:])
 
-    def g(yy, xx):
-        return jnp.take(flat, yy * w + xx, axis=0)
-
-    v00 = g(y0, x0)
-    v01 = g(y0, x1)
-    v10 = g(y1, x0)
-    v11 = g(y1, x1)
+    # single combined gather for all four taps (one gather kernel instead of
+    # four — gathers dominate the flow solver's cost on TPU)
+    idx4 = jnp.stack([y0 * w + x0, y0 * w + x1, y1 * w + x0, y1 * w + x1],
+                     axis=-1)                                   # (..., 4)
+    taps = jnp.take(flat, idx4.reshape(-1), axis=0).reshape(idx4.shape + img.shape[2:])
+    v00, v01, v10, v11 = (taps[..., 0], taps[..., 1], taps[..., 2], taps[..., 3]) \
+        if img.ndim == 2 else (taps[..., 0, :], taps[..., 1, :],
+                               taps[..., 2, :], taps[..., 3, :])
     if img.ndim == 3:
         fy = fy[..., None]
         fx = fx[..., None]

@@ -278,3 +278,77 @@ class SlamSystem:
         """Final global refinement pass over the whole keyframe set (the
         reference leaves this to LoopClosing's GBA; here a windowed sweep)."""
         self.map.run_local_ba()
+
+    # --------------------------------------------------- map save / load
+
+    def save_map(self, path: str) -> None:
+        """Persist the map (points + keyframes + records) to one .npz.
+
+        The reference only has a TODO stub for this (``include/System.h:
+        117-119``); here checkpoint/resume is a real feature: a saved map can
+        be reloaded for localization-only runs or continued mapping.
+        """
+        m = self.map
+        kf_blobs = {}
+        for kf in m.keyframes:
+            p = f"kf{kf.kf_id}_"
+            kf_blobs[p + "Tcw"] = kf.Tcw
+            kf_blobs[p + "pids"] = kf.point_ids
+            kf_blobs[p + "ts"] = np.array(kf.timestamp)
+            kf_blobs[p + "xy"] = np.asarray(kf.frame.xy)
+            kf_blobs[p + "level"] = np.asarray(kf.frame.level)
+            kf_blobs[p + "angle"] = np.asarray(kf.frame.angle)
+            kf_blobs[p + "desc"] = np.asarray(kf.frame.desc)
+            kf_blobs[p + "valid"] = np.asarray(kf.frame.valid)
+            kf_blobs[p + "depth"] = np.asarray(kf.frame.depth)
+            kf_blobs[p + "ur"] = np.asarray(kf.frame.ur)
+        np.savez_compressed(
+            path,
+            n_keyframes=np.array(len(m.keyframes)),
+            next_point=np.array(m._next),
+            pos=m.pos[:m._next], desc=m.desc[:m._next],
+            valid=m.valid[:m._next], n_obs=m.n_obs[:m._next],
+            n_found=m.n_found[:m._next], n_visible=m.n_visible[:m._next],
+            created_kf=m.created_kf[:m._next],
+            **kf_blobs)
+
+    def load_map(self, path: str) -> None:
+        """Restore a map saved by :meth:`save_map` (resume / localization)."""
+        import jax.numpy as jnp
+
+        data = np.load(path)
+        m = self.map
+        n = int(data["next_point"])
+        m._next = n
+        m.pos[:n] = data["pos"]
+        m.desc[:n] = data["desc"]
+        m.valid[:] = False
+        m.valid[:n] = data["valid"]
+        m.n_obs[:n] = data["n_obs"]
+        m.n_found[:n] = data["n_found"]
+        m.n_visible[:n] = data["n_visible"]
+        m.created_kf[:n] = data["created_kf"]
+        m.keyframes = []
+        from sindslam_tpu.slam.local_map import KeyFrame
+
+        for k in range(int(data["n_keyframes"])):
+            p = f"kf{k}_"
+            frame = FrameData(
+                xy=jnp.asarray(data[p + "xy"]),
+                level=jnp.asarray(data[p + "level"]),
+                angle=jnp.asarray(data[p + "angle"]),
+                desc=jnp.asarray(data[p + "desc"]),
+                valid=jnp.asarray(data[p + "valid"]),
+                depth=jnp.asarray(data[p + "depth"]),
+                ur=jnp.asarray(data[p + "ur"]),
+                timestamp=float(data[p + "ts"]))
+            kf = KeyFrame(kf_id=k, frame=frame, Tcw=data[p + "Tcw"],
+                          point_ids=data[p + "pids"],
+                          timestamp=float(data[p + "ts"]))
+            m.keyframes.append(kf)
+            if self.relocalizer is not None:
+                self.relocalizer.add_keyframe(kf)
+        if m.keyframes:
+            self.Tcw = m.keyframes[-1].Tcw.astype(np.float32)
+            self.prev_frame = m.keyframes[-1].frame
+            self.ref_tracked = int((m.keyframes[-1].point_ids >= 0).sum())
