@@ -41,6 +41,9 @@ def main() -> int:
                     help="full SLAM (keyframes + local BA) instead of odometry")
     ap.add_argument("--map", dest="map_out",
                     help="build a dense voxel map and save it to this .pcd")
+    ap.add_argument("--fused", action="store_true",
+                    help="with --dyna: use the single-dispatch fused front-end "
+                         "(flow+cluster+mask+ORB in one XLA graph)")
     ap.add_argument("--n-features", type=int, default=1000)
     ap.add_argument("--eval-ate", action="store_true",
                     help="evaluate ATE against ground truth when available")
@@ -87,7 +90,10 @@ def main() -> int:
 
     # ---- optional dynamic-region detector
     dyna = None
-    if args.dyna:
+    fused_state = None
+    if args.dyna and args.fused:
+        from sindslam_tpu.frontend.pipeline import frontend_step, init_state
+    elif args.dyna:
         from sindslam_tpu.frontend.dyna_detect import DynaDetector
 
         dyna = DynaDetector(cfg)
@@ -113,15 +119,24 @@ def main() -> int:
         t0 = time.time()
         g = im.rgb_to_gray(jnp.asarray(rgb))
         d = jnp.asarray(depth)
-        if dyna is not None:
+        if args.dyna and args.fused:
+            if fused_state is None:
+                fused_state = init_state(cfg, g)
+            out, fused_state = frontend_step(jnp.asarray(rgb), d, fused_state, cfg)
+            mask, label, feats = out.dyna_mask, out.label_img, out.features
+            t1 = time.time()
+            t_detect += t1 - t0
+        elif dyna is not None:
             mask, label = dyna.detect(jnp.asarray(rgb), d)
             t1 = time.time()
             t_detect += t1 - t0
+            feats = orb.extract_orb(g, mask, ocfg,
+                                    height=cam.height, width=cam.width)
         else:
             mask = zero_mask
             t1 = t0
-        feats = orb.extract_orb(g, mask, ocfg,
-                                height=cam.height, width=cam.width)
+            feats = orb.extract_orb(g, mask, ocfg,
+                                    height=cam.height, width=cam.width)
         frame = build_frame(feats, d, cam, ts)
         if slam is not None:
             Tcw, is_kf = slam.track_frame(frame, ts)
@@ -153,7 +168,7 @@ def main() -> int:
         write_tum_trajectory(args.out, np.array(timestamps), np.stack(poses_twc))
     print(f"tracked {n_done} frames | mean/frame: total {1000*t_total/n_done:.1f} ms"
           + (f" (detect {1000*t_detect/n_done:.1f} ms, track {1000*t_track/n_done:.1f} ms)"
-             if dyna else "")
+             if args.dyna else "")
           + f" | trajectory -> {args.out}")
 
     if mapper is not None:

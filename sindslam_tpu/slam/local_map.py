@@ -34,6 +34,7 @@ class KeyFrame:
     Tcw: np.ndarray               # (4, 4)
     point_ids: np.ndarray         # (N,) int64 map-point id per keypoint, -1 none
     timestamp: float
+    culled: bool = False          # redundant KFs are excluded, not deleted
 
 
 class LocalMap:
@@ -89,6 +90,62 @@ class LocalMap:
         self.valid[bad] = False
         return n
 
+    def fuse_duplicates(self, kf: KeyFrame, dist_m: float = 0.03,
+                        max_hamming: int = 50) -> int:
+        """Merge newly created map points that duplicate older ones
+        (SearchInNeighbors/Fuse role, reference ``LocalMapping.cc:454`` /
+        ``ORBmatcher::Fuse``): a new point within ``dist_m`` of an older valid
+        point with a close descriptor is redirected to the older id."""
+        new_ids = np.unique(kf.point_ids[(kf.point_ids >= 0)])
+        new_ids = new_ids[self.created_kf[new_ids] == kf.kf_id]
+        if len(new_ids) == 0 or self._next - len(new_ids) <= 0:
+            return 0
+        old_valid = self.valid.copy()
+        old_valid[new_ids] = False
+        old_idx = np.where(old_valid[:self._next])[0]
+        if len(old_idx) == 0:
+            return 0
+        from scipy.spatial import cKDTree
+
+        tree = cKDTree(self.pos[old_idx])
+        d, nn = tree.query(self.pos[new_ids], distance_upper_bound=dist_m)
+        close = np.isfinite(d)
+        n_fused = 0
+        # descriptor check via popcount
+        for ni, is_close, nnk in zip(new_ids, close, nn):
+            if not is_close:
+                continue
+            oi = old_idx[nnk]
+            ham = bin(int.from_bytes(
+                (self.desc[ni] ^ self.desc[oi]).tobytes(), "little")).count("1")
+            if ham > max_hamming:
+                continue
+            kf.point_ids[kf.point_ids == ni] = oi
+            self.valid[ni] = False
+            self.n_obs[oi] += 1
+            n_fused += 1
+        return n_fused
+
+    def cull_keyframes(self, protect_last: int = 3, redundancy: float = 0.9
+                       ) -> int:
+        """Redundancy cull (reference ``LocalMapping::KeyFrameCulling``): a
+        keyframe whose valid points are >=90% observed by >=3 other keyframes
+        is marked culled (excluded from windows/covisibility, kept for the
+        trajectory replay)."""
+        n_culled = 0
+        for kf in self.keyframes[:-protect_last]:
+            if kf.culled:
+                continue
+            pids = kf.point_ids[kf.point_ids >= 0]
+            pids = pids[self.valid[pids]]
+            if len(pids) < 20:
+                continue
+            redundant = (self.n_obs[pids] >= 4).mean()
+            if redundant >= redundancy:
+                kf.culled = True
+                n_culled += 1
+        return n_culled
+
     # ---------------------------------------------------------- keyframes
 
     def insert_keyframe(self, frame: FrameData, Tcw: np.ndarray,
@@ -107,7 +164,7 @@ class LocalMap:
         mine = set(kf.point_ids[kf.point_ids >= 0].tolist())
         weights = []
         for other in self.keyframes:
-            if other.kf_id == kf.kf_id:
+            if other.kf_id == kf.kf_id or other.culled:
                 continue
             shared = len(mine.intersection(
                 other.point_ids[other.point_ids >= 0].tolist()))
@@ -127,7 +184,7 @@ class LocalMap:
         """
         cfg = self.cfg
         W = n_recent or cfg.ba_max_keyframes
-        window = self.keyframes[-W:]
+        window = [k for k in self.keyframes if not k.culled][-W:]
         if len(window) < 2:
             return None
 

@@ -228,7 +228,9 @@ class SlamSystem:
             point_ids[new_idx] = ids
 
         kf = self.map.insert_keyframe(frame, self.Tcw, point_ids, timestamp)
+        self.map.fuse_duplicates(kf)
         self.map.cull_points(len(self.map.keyframes) - 1)
+        self.map.cull_keyframes()
         self.map.run_local_ba()
         # adopt the BA-refined pose of the newest keyframe
         self.Tcw = self.map.keyframes[-1].Tcw.astype(np.float32)
