@@ -126,7 +126,7 @@ class DynaConfig:
     depth_weight: float = 1.5
     max_depth_m: float = 6.0
     kmeans_iters: int = 4
-    kmeans_pyramid_levels: int = 4
+    kmeans_pyramid_levels: int = 3
     kmeans_pyramid_scale: float = 0.5
     # Padded maximum number of post-merge clusters (static shapes on TPU).
     max_clusters: int = 16

@@ -27,8 +27,8 @@ from sindslam_tpu.config import DynaConfig
 from sindslam_tpu.ops import image as im
 
 _K_LABELS = 33   # label ids 0..32 (0 invalid + up to 32 clusters)
-_FILL_ITERS = 20
-_FILL_K = 7
+_FILL_ITERS = 12
+_FILL_K = 9
 
 
 class FusionResult(NamedTuple):

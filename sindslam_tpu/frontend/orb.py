@@ -167,17 +167,60 @@ def _gather_patches(img: jnp.ndarray, yx: jnp.ndarray, radius: int) -> jnp.ndarr
                     ).reshape(yx.shape[0], 2 * radius + 1, 2 * radius + 1)
 
 
-def ic_angle(img: jnp.ndarray, yx: jnp.ndarray) -> jnp.ndarray:
-    """Intensity-centroid orientation over the radius-15 disc
-    (reference ``ORBextractor.cc:108`` IC_Angle)."""
+def _shift_rows(x: jnp.ndarray, dy: int) -> jnp.ndarray:
+    """x shifted so out[y] = x[y+dy], clamped at borders."""
+    if dy == 0:
+        return x
+    h = x.shape[0]
+    if dy > 0:
+        return jnp.concatenate([x[dy:], jnp.repeat(x[-1:], dy, axis=0)], 0)
+    return jnp.concatenate([jnp.repeat(x[:1], -dy, axis=0), x[:dy]], 0)
+
+
+def _shift_cols(x: jnp.ndarray, dx: int) -> jnp.ndarray:
+    if dx == 0:
+        return x
+    w = x.shape[1]
+    if dx > 0:
+        return jnp.concatenate([x[:, dx:], jnp.repeat(x[:, -1:], dx, axis=1)], 1)
+    return jnp.concatenate([jnp.repeat(x[:, :1], -dx, axis=1), x[:, :dx]], 1)
+
+
+def ic_angle_fields(img: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Whole-image disc moments (m10, m01) via row cumulative sums + shifts.
+
+    m10(p) = sum_{|d| <= r} dx * I(p + d), m01 likewise with dy — the
+    reference's IC_Angle patch sums (``ORBextractor.cc:108``), computed with
+    ZERO gathers/convs: per disc row dy with half-width k(dy), the window sum
+    over dx comes from two shifted row-cumsum lookups. ~30 shift/add passes,
+    all VPU. (A 31x31 single-channel conv wastes the MXU; per-keypoint patch
+    gathers serialize on the scalar unit.)
+    """
     r = _PATCH_RADIUS
-    patches = _gather_patches(img, yx, r)                    # (N, 31, 31)
-    d = jnp.arange(-r, r + 1, dtype=jnp.float32)
-    disc = (d[:, None] ** 2 + d[None, :] ** 2) <= r * r
-    wy = jnp.where(disc, d[:, None], 0.0)
-    wx = jnp.where(disc, d[None, :], 0.0)
-    m01 = jnp.sum(patches * wy[None], axis=(1, 2))
-    m10 = jnp.sum(patches * wx[None], axis=(1, 2))
+    xs = jnp.arange(img.shape[1], dtype=jnp.float32)[None, :]
+    S0 = jnp.cumsum(img, axis=1)
+    S1 = jnp.cumsum(img * xs, axis=1)
+    m10 = jnp.zeros_like(img)
+    m01 = jnp.zeros_like(img)
+    for dy in range(-r, r + 1):
+        k = int(math.isqrt(r * r - dy * dy))
+        S0r = _shift_rows(S0, dy)
+        S1r = _shift_rows(S1, dy)
+        win0 = _shift_cols(S0r, k) - _shift_cols(S0r, -k - 1)
+        win1 = _shift_cols(S1r, k) - _shift_cols(S1r, -k - 1)
+        m10 = m10 + (win1 - xs * win0)
+        m01 = m01 + dy * win0
+    return m10, m01
+
+
+def ic_angle(img: jnp.ndarray, yx: jnp.ndarray) -> jnp.ndarray:
+    """Intensity-centroid orientation at the given keypoints: one gather per
+    keypoint from the cumsum-based moment fields."""
+    h, w = img.shape
+    m10_img, m01_img = ic_angle_fields(img)
+    flat_idx = yx[:, 0] * w + yx[:, 1]
+    m10 = jnp.take(m10_img.reshape(-1), flat_idx, axis=0)
+    m01 = jnp.take(m01_img.reshape(-1), flat_idx, axis=0)
     return jnp.arctan2(m01, m10)
 
 
@@ -242,8 +285,10 @@ def extract_orb(
     for l, ((lh, lw), quota) in enumerate(zip(shapes, quotas)):
         if l > 0:
             level_img = im.resize_bilinear(level_img, (lh, lw))
-        s_hi = fast_score_map(level_img, float(cfg.ini_th_fast))
+        # one FAST pass: the score IS the max threshold margin, so the
+        # high-threshold map is a relabeling of the low-threshold map
         s_lo = fast_score_map(level_img, float(cfg.min_th_fast))
+        s_hi = jnp.where(s_lo > cfg.ini_th_fast, s_lo, 0.0)
         # low-threshold fallback only where the high threshold found nothing
         # in the local cell; approximating with a pixel-level mix biased by a
         # large bonus for high-threshold corners preserves their priority.

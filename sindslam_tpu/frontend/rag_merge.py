@@ -35,7 +35,7 @@ from sindslam_tpu.ops import image as im
 _HI = jax.lax.Precision.HIGHEST
 _K_MAX = 32           # RAG node capacity (components before merging)
 _HIST_BINS = 16
-_MERGE_STEPS = 24     # fixed greedy-merge iterations
+_MERGE_STEPS = 16     # fixed greedy-merge iterations
 _DILATE_ADJ = 7       # dilation window for adjacency overlap (radius 3)
 
 
@@ -56,7 +56,7 @@ def components_from_labels(labels: jnp.ndarray, mask: jnp.ndarray,
     idx = (jnp.arange(h * w, dtype=jnp.int32) + 1).reshape(h, w)
     comp = jnp.where(mask, idx, 0)
 
-    def step(comp, _):
+    def step(comp, it):
         pc = jnp.pad(comp, 1)
         pl = jnp.pad(labels, 1, constant_values=-2)
         neighs = []
@@ -69,12 +69,17 @@ def components_from_labels(labels: jnp.ndarray, mask: jnp.ndarray,
                            jnp.minimum(jnp.minimum(neighs[0], neighs[1]),
                                        jnp.minimum(neighs[2], neighs[3])))
         best = jnp.where(mask, best, 0)
-        jumped = jnp.take(best.reshape(-1), jnp.maximum(best - 1, 0).reshape(-1)
-                          ).reshape(h, w)
-        best = jnp.where((best > 0) & (jumped > 0), jnp.minimum(best, jumped), best)
+
+        # pointer jumping every 4th sweep (the gather dominates TPU cost)
+        def jump(b):
+            j = jnp.take(b.reshape(-1), jnp.maximum(b - 1, 0).reshape(-1)
+                         ).reshape(h, w)
+            return jnp.where((b > 0) & (j > 0), jnp.minimum(b, j), b)
+
+        best = lax.cond(it % 4 == 3, jump, lambda b: b, best)
         return best, None
 
-    comp, _ = lax.scan(step, comp, None, length=n_iters)
+    comp, _ = lax.scan(step, comp, jnp.arange(n_iters))
     return comp
 
 

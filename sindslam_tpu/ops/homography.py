@@ -60,6 +60,27 @@ def dlt_homography(src: jnp.ndarray, dst: jnp.ndarray, w: jnp.ndarray) -> jnp.nd
     return H / (H[2, 2] + 1e-12)
 
 
+def _solve8(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """8x8 linear solve by Gauss-Jordan with partial pivoting, written with
+    batched-friendly ops only (vmap over RANSAC hypotheses turns this into
+    pure element-wise/vector work — LAPACK-style LU on tiny batched systems
+    serializes badly on TPU)."""
+    M = jnp.concatenate([A, b[:, None]], axis=1)          # (8, 9)
+    rows = jnp.arange(8)
+    for k in range(8):
+        col = jnp.abs(M[:, k])
+        col = jnp.where(rows >= k, col, -1.0)
+        piv = jnp.argmax(col)
+        perm = jnp.where(rows == k, piv,
+                         jnp.where(rows == piv, k, rows))
+        M = M[perm]
+        pivot_row = M[k] / (M[k, k] + 1e-20)
+        factors = M[:, k].at[k].set(0.0)
+        M = M - factors[:, None] * pivot_row[None, :]
+        M = M.at[k].set(pivot_row)
+    return M[:, 8]
+
+
 def dlt4_homography(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
     """Minimal 4-point homography via an 8x8 linear solve with h33 = 1.
 
@@ -84,7 +105,7 @@ def dlt4_homography(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
     rows_v = jnp.stack([zero, zero, zero, x, y, one, -v * x, -v * y], axis=-1)
     A = jnp.concatenate([rows_u, rows_v], axis=0)            # (8, 8)
     b = jnp.concatenate([u, v], axis=0)                      # (8,)
-    h = jnp.linalg.solve(A, b)
+    h = _solve8(A, b)
     Hn = jnp.concatenate([h, jnp.ones((1,), h.dtype)]).reshape(3, 3)
     T_s = jnp.array([[1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0]])
     T_s = T_s.at[0, 0].set(ss).at[1, 1].set(ss).at[0, 2].set(-ss * ms[0]).at[1, 2].set(-ss * ms[1])

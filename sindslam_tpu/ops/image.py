@@ -313,7 +313,7 @@ def connected_relabel(mask: jnp.ndarray, n_iters: int = 64) -> jnp.ndarray:
     idx = (jnp.arange(h * w, dtype=jnp.int32) + 1).reshape(h, w)
     labels = jnp.where(mask, idx, 0)
 
-    def step(labels, _):
+    def step(labels, it):
         p = jnp.pad(labels, 1, mode="constant", constant_values=0)
         neigh = jnp.stack([
             p[0:h, 1:w + 1], p[2:h + 2, 1:w + 1], p[1:h + 1, 0:w], p[1:h + 1, 2:w + 2],
@@ -321,10 +321,15 @@ def connected_relabel(mask: jnp.ndarray, n_iters: int = 64) -> jnp.ndarray:
         neigh = jnp.where(neigh > 0, neigh, big)
         best = jnp.minimum(jnp.min(neigh, axis=0), jnp.where(labels > 0, labels, big))
         best = jnp.where(mask, best, 0)
-        # pointer jumping: adopt the current label of the pixel we point at
-        jumped = jnp.take(best.reshape(-1), jnp.maximum(best - 1, 0).reshape(-1)).reshape(h, w)
-        best = jnp.where((best > 0) & (jumped > 0), jnp.minimum(best, jumped), best)
+        # pointer jumping every 4th sweep: the full-image random gather is by
+        # far the most expensive op on TPU, and periodic jumps retain the
+        # (near-)multiplicative reach growth
+        def jump(b):
+            j = jnp.take(b.reshape(-1), jnp.maximum(b - 1, 0).reshape(-1)).reshape(h, w)
+            return jnp.where((b > 0) & (j > 0), jnp.minimum(b, j), b)
+
+        best = lax.cond(it % 4 == 3, jump, lambda b: b, best)
         return best, None
 
-    labels, _ = lax.scan(step, labels, None, length=n_iters)
+    labels, _ = lax.scan(step, labels, jnp.arange(n_iters))
     return labels
