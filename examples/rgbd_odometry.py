@@ -47,6 +47,8 @@ def main() -> int:
     ap.add_argument("--n-features", type=int, default=1000)
     ap.add_argument("--eval-ate", action="store_true",
                     help="evaluate ATE against ground truth when available")
+    ap.add_argument("--timing", action="store_true",
+                    help="print per-stage timing means at exit")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -112,6 +114,9 @@ def main() -> int:
     tracker = OdometryTracker(cam, cfg.tracking)
     zero_mask = jnp.zeros((cam.height, cam.width), jnp.int32)
 
+    from sindslam_tpu.utils.profiling import StageTimer
+
+    timer = StageTimer()
     timestamps, poses_twc = [], []
     t_total = t_detect = t_track = 0.0
     n_done = 0
@@ -122,27 +127,32 @@ def main() -> int:
         if args.dyna and args.fused:
             if fused_state is None:
                 fused_state = init_state(cfg, g)
-            out, fused_state = frontend_step(jnp.asarray(rgb), d, fused_state, cfg)
+            with timer.stage("frontend(fused)"):
+                out, fused_state = frontend_step(jnp.asarray(rgb), d, fused_state, cfg)
             mask, label, feats = out.dyna_mask, out.label_img, out.features
             t1 = time.time()
             t_detect += t1 - t0
         elif dyna is not None:
-            mask, label = dyna.detect(jnp.asarray(rgb), d)
+            with timer.stage("dyna_detect"):
+                mask, label = dyna.detect(jnp.asarray(rgb), d)
             t1 = time.time()
             t_detect += t1 - t0
-            feats = orb.extract_orb(g, mask, ocfg,
-                                    height=cam.height, width=cam.width)
+            with timer.stage("orb"):
+                feats = orb.extract_orb(g, mask, ocfg,
+                                        height=cam.height, width=cam.width)
         else:
             mask = zero_mask
             t1 = t0
-            feats = orb.extract_orb(g, mask, ocfg,
-                                    height=cam.height, width=cam.width)
+            with timer.stage("orb"):
+                feats = orb.extract_orb(g, mask, ocfg,
+                                        height=cam.height, width=cam.width)
         frame = build_frame(feats, d, cam, ts)
-        if slam is not None:
-            Tcw, is_kf = slam.track_frame(frame, ts)
-            info = {"n_matches": -1, "n_inliers": -1, "kf": is_kf}
-        else:
-            Tcw, info = tracker.track(frame)
+        with timer.stage("tracking"):
+            if slam is not None:
+                Tcw, is_kf = slam.track_frame(frame, ts)
+                info = {"n_matches": -1, "n_inliers": -1, "kf": is_kf}
+            else:
+                Tcw, info = tracker.track(frame)
         t_track += time.time() - t1
         if mapper is not None and n_done % cfg.mapping.keyframe_decimation == 0:
             lbl = label if dyna is not None else jnp.zeros_like(mask)
@@ -176,6 +186,9 @@ def main() -> int:
         centers, _ = mapper.export_cloud()
         print(f"dense map: {len(centers)} occupied voxels -> {args.map_out}")
         mapper.close()
+
+    if args.timing:
+        print(timer.report())
 
     if args.eval_ate:
         from sindslam_tpu.evaluation import evaluate_ate

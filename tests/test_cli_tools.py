@@ -93,3 +93,19 @@ def test_viewer_renders(tmp_path, synthetic_frames):
     viewer.draw_map(traj, str(tmp_path / "map.png"), points_xyz=pts)
     for f in ["frame.png", "mask.png", "map.png"]:
         assert os.path.getsize(tmp_path / f) > 2000
+
+
+def test_stage_timer():
+    import time as _time
+
+    from sindslam_tpu.utils.profiling import StageTimer
+
+    t = StageTimer()
+    for _ in range(3):
+        with t.stage("a"):
+            _time.sleep(0.01)
+    with t.stage("b"):
+        pass
+    assert 8 < t.mean_ms("a") < 100
+    rep = t.report()
+    assert "a" in rep and "b" in rep and "ms/frame" in rep
