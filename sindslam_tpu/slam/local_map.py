@@ -188,7 +188,12 @@ class LocalMap:
         if len(window) < 2:
             return None
 
-        # collect the union of observed points (cap ba_max_points)
+        # collect the union of observed points (cap ba_max_points).
+        # IMPORTANT: materialize each keyframe's feature tensors to host ONCE
+        # — indexing a device array per observation costs a full tunnel
+        # round-trip (~25 ms) each, i.e. minutes per BA window.
+        host_kf = [(np.asarray(kf.frame.xy), np.asarray(kf.frame.ur),
+                    np.asarray(kf.frame.level)) for kf in window]
         pid_set: Dict[int, int] = {}
         obs: List[Tuple[int, int, int]] = []   # (kf slot, pt slot, keypoint idx)
         for s, kf in enumerate(window):
@@ -221,12 +226,12 @@ class LocalMap:
         obs_lvl = np.zeros(M, np.int32)
         obs_ok = np.zeros(M, bool)
         for i, (s, pslot, ki) in enumerate(obs):
-            kf = window[s]
+            xy_h, ur_h, lvl_h = host_kf[s]
             obs_kf[i] = s
             obs_pt[i] = pslot
-            obs_uv[i] = np.asarray(kf.frame.xy)[ki]
-            obs_ur[i] = float(np.asarray(kf.frame.ur)[ki])
-            obs_lvl[i] = int(np.asarray(kf.frame.level)[ki])
+            obs_uv[i] = xy_h[ki]
+            obs_ur[i] = ur_h[ki]
+            obs_lvl[i] = lvl_h[ki]
             obs_ok[i] = True
 
         poses = np.stack([kf.Tcw for kf in window]).astype(np.float32)

@@ -34,6 +34,11 @@ from sindslam_tpu.slam.optimizer import pose_optimization
 from sindslam_tpu.slam.tracking import track_against_frame
 
 
+from collections import namedtuple
+
+_HostMatches = namedtuple("_HostMatches", ["idx", "valid"])
+
+
 @dataclass
 class _FrameRecord:
     timestamp: float
@@ -93,27 +98,41 @@ class SlamSystem:
             self._initialize(frame, timestamp)
             return self.Tcw.copy(), True
 
-        # 1) motion-model tracking against the previous frame
+        # 1 + 2) one fused device dispatch: motion-model tracking AND local-map
+        # refinement, with a single packed readback (tunnel round trips are
+        # ~25 ms each and dominate host-side tracking time otherwise)
+        from sindslam_tpu.slam.tracking import full_track_step
+
         Tcw_pred = (self.velocity @ self.Tcw).astype(np.float32)
         prev_Twc = np.linalg.inv(self.Tcw).astype(np.float32)
-        res = track_against_frame(self.prev_frame, jnp.asarray(prev_Twc),
-                                  frame, jnp.asarray(Tcw_pred),
-                                  self.cam, self.tcfg,
-                                  radius=self.tcfg.search_radius_fine)
-        n_inl = int(res.n_inliers)
-        Tcw_cur = np.asarray(res.Tcw)
+        pos, desc, ok, ids = self.map.local_point_tensors()
+        out = full_track_step(self.prev_frame, jnp.asarray(prev_Twc),
+                              frame, jnp.asarray(Tcw_pred),
+                              pos, desc, ok, self.cam, self.tcfg,
+                              self.tcfg.search_radius_fine)
+        poses = np.asarray(out.poses)
+        counts = np.asarray(out.counts)
+        flags = np.asarray(out.flags)
+        n_inl = int(counts[0])
+
         if n_inl < self.tcfg.min_tracked_points:
-            res = track_against_frame(self.prev_frame, jnp.asarray(prev_Twc),
-                                      frame, jnp.asarray(self.Tcw),
-                                      self.cam, self.tcfg,
-                                      radius=self.tcfg.search_radius_coarse)
-            n_inl = int(res.n_inliers)
-            Tcw_cur = np.asarray(res.Tcw)
+            # wide-window retry from the last pose
+            out = full_track_step(self.prev_frame, jnp.asarray(prev_Twc),
+                                  frame, jnp.asarray(self.Tcw),
+                                  pos, desc, ok, self.cam, self.tcfg,
+                                  self.tcfg.search_radius_coarse)
+            poses = np.asarray(out.poses)
+            counts = np.asarray(out.counts)
+            flags = np.asarray(out.flags)
+            n_inl = int(counts[0])
 
         if n_inl < self.tcfg.min_tracked_points and self.relocalizer is not None:
             reloc = self.relocalizer.relocalize(frame, self)
             if reloc is not None:
-                Tcw_cur, n_inl = reloc
+                Tcw_r, n_r = reloc
+                poses[1] = Tcw_r
+                counts[1] = n_r
+                n_inl = n_r
 
         if n_inl < self.tcfg.min_tracked_points:
             # lost: extrapolate, record, and wait for relocalization
@@ -124,23 +143,14 @@ class SlamSystem:
             return self.Tcw.copy(), False
         self.lost = False
 
-        # 2) track the local map: project local points into the refined pose
-        pos, desc, ok, ids = self.map.local_point_tensors()
-        m, opt = self._match_and_optimize_map(frame, Tcw_cur, pos, desc, ok)
-        if int(opt.n_inliers) >= self.tcfg.min_tracked_points:
-            Tcw_cur = np.asarray(opt.Tcw)
-            matched_ids = np.where(np.asarray(m.valid))[0]
-            n_map = int(opt.n_inliers)
-        else:
-            matched_ids = np.array([], np.int64)
-            n_map = n_inl
-
-        # bookkeeping for found-ratio culling
-        proj_uv, in_front = project_world_points(
-            jnp.asarray(self.map.pos[ids.clip(0)]), jnp.asarray(Tcw_cur), self.cam)
-        vis = np.asarray(in_front) & (ids >= 0)
+        n_map = int(counts[1]) if int(counts[1]) >= self.tcfg.min_tracked_points \
+            else n_inl
+        Tcw_cur = poses[1]
+        m_valid = flags[0]
+        inl_mask = flags[1]
+        vis = flags[2] & (ids >= 0)
         self.map.n_visible[ids[vis]] += 1
-        inl_mask = np.asarray(opt.inliers) if int(opt.n_inliers) > 0 else None
+        m = _HostMatches(idx=np.asarray(out.map_match_idx), valid=m_valid)
 
         # 3) velocity + keyframe policy
         self.velocity = (Tcw_cur @ np.linalg.inv(self.Tcw)).astype(np.float32)
@@ -164,22 +174,6 @@ class SlamSystem:
         return self.Tcw.copy(), is_kf
 
     # ------------------------------------------------------------ helpers
-
-    def _match_and_optimize_map(self, frame, Tcw, pos, desc, ok):
-        proj_uv, in_frustum = project_world_points(pos, jnp.asarray(Tcw), self.cam)
-        proj_ok = ok & in_frustum
-        lvl0 = jnp.zeros(pos.shape[0], jnp.int32)
-        m = matching.match_by_projection(
-            proj_uv, proj_ok, desc, lvl0,
-            frame.xy, frame.desc, frame.level, frame.valid,
-            radius=self.tcfg.search_radius_fine,
-            max_dist=self.tcfg.hamming_th_high, level_tolerance=8)
-        tgt = jnp.maximum(m.idx, 0)
-        opt = pose_optimization(
-            jnp.asarray(Tcw.astype(np.float32)), pos,
-            frame.xy[tgt], jnp.where(m.valid, frame.ur[tgt], -1.0),
-            frame.level[tgt], m.valid, self.cam, self.tcfg)
-        return m, opt
 
     def _initialize(self, frame: FrameData, timestamp: float) -> None:
         """RGB-D initialization: every valid-depth keypoint becomes a map

@@ -63,6 +63,55 @@ def track_against_frame(
                            n_inliers=res.n_inliers)
 
 
+class FullTrackOut(NamedTuple):
+    """Packed single-readback result of one full tracking step.
+
+    Through the axon tunnel every device->host transfer costs a ~25 ms round
+    trip, so the whole per-frame tracking (motion-model match + pose opt +
+    local-map match + pose opt) is ONE dispatch returning a few packed arrays.
+    """
+
+    poses: jnp.ndarray    # (2, 4, 4): [frame-to-frame Tcw, map-refined Tcw]
+    counts: jnp.ndarray   # (2,) int32: [frame inliers, map inliers]
+    map_match_idx: jnp.ndarray   # (P,) int32 target keypoint per map point
+    flags: jnp.ndarray    # (3, P) bool: [match valid, obs inlier, in frustum]
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "cfg", "radius"))
+def full_track_step(
+    prev: FrameData, prev_Twc: jnp.ndarray,
+    cur: FrameData, Tcw_pred: jnp.ndarray,
+    map_pos: jnp.ndarray, map_desc: jnp.ndarray, map_ok: jnp.ndarray,
+    cam: CameraConfig, cfg: TrackingConfig, radius: float,
+) -> FullTrackOut:
+    from sindslam_tpu.slam.frame import project_world_points
+
+    r1 = track_against_frame(prev, prev_Twc, cur, Tcw_pred, cam, cfg, radius)
+
+    proj_uv, in_frustum = project_world_points(map_pos, r1.Tcw, cam)
+    proj_ok = map_ok & in_frustum
+    lvl0 = jnp.zeros(map_pos.shape[0], jnp.int32)
+    m = matching.match_by_projection(
+        proj_uv, proj_ok, map_desc, lvl0,
+        cur.xy, cur.desc, cur.level, cur.valid,
+        radius=cfg.search_radius_fine, max_dist=cfg.hamming_th_high,
+        level_tolerance=8)
+    tgt = jnp.maximum(m.idx, 0)
+    opt = pose_optimization(
+        r1.Tcw, map_pos, cur.xy[tgt],
+        jnp.where(m.valid, cur.ur[tgt], -1.0), cur.level[tgt], m.valid,
+        cam, cfg)
+
+    # if the map solve is weak, keep the frame-to-frame pose
+    good = opt.n_inliers >= cfg.min_tracked_points
+    final = jnp.where(good, opt.Tcw, r1.Tcw)
+    poses = jnp.stack([r1.Tcw, final])
+    counts = jnp.stack([r1.n_inliers, opt.n_inliers]).astype(jnp.int32)
+    flags = jnp.stack([m.valid, opt.inliers & m.valid, in_frustum & map_ok])
+    return FullTrackOut(poses=poses, counts=counts, map_match_idx=m.idx,
+                        flags=flags)
+
+
 class OdometryTracker:
     """Constant-velocity frame-to-frame RGB-D odometry.
 
