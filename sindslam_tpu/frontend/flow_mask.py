@@ -69,9 +69,20 @@ def sample_weights(
 
 def _threshold_ladder(mag: jnp.ndarray, valid: jnp.ndarray, cfg: DynaConfig
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Otsu+Triangle thresholds in pixels, with the reference's clamp ladder."""
+    """Otsu+Triangle thresholds in pixels, with the reference's clamp ladder.
+
+    The histogram runs on a 2x-subsampled field via a one-hot matmul: the
+    thresholds are distribution statistics (quarter sampling doesn't move
+    them), and a 307k-element scatter serializes on TPU.
+    """
+    m2 = mag[::2, ::2]
+    w2 = valid[::2, ::2].astype(jnp.float32)
+    idx = jnp.clip((m2 / _HIST_MAX_PX * _HIST_BINS).astype(jnp.int32),
+                   0, _HIST_BINS - 1).reshape(-1)
+    onehot = (idx[:, None] == jnp.arange(_HIST_BINS)[None, :]).astype(jnp.float32)
+    hist = jnp.matmul(w2.reshape(1, -1), onehot,
+                      precision=jax.lax.Precision.DEFAULT)[0]
     weights = valid.astype(jnp.float32)
-    hist = im.histogram_fixed(mag, _HIST_BINS, 0.0, _HIST_MAX_PX, weights=weights)
     px_per_bin = _HIST_MAX_PX / _HIST_BINS
     otsu = im.otsu_threshold(hist) * px_per_bin
     tri = im.triangle_threshold(hist) * px_per_bin

@@ -24,17 +24,12 @@ import numpy as np
 
 import jax.numpy as jnp
 
+from collections import namedtuple
+
 from sindslam_tpu.config import SystemConfig
 from sindslam_tpu.frontend import orb
-from sindslam_tpu.geometry import se3
-from sindslam_tpu.slam import matching
-from sindslam_tpu.slam.frame import FrameData, build_frame, project_world_points, unproject_to_world
+from sindslam_tpu.slam.frame import FrameData, build_frame, unproject_to_world
 from sindslam_tpu.slam.local_map import LocalMap
-from sindslam_tpu.slam.optimizer import pose_optimization
-from sindslam_tpu.slam.tracking import track_against_frame
-
-
-from collections import namedtuple
 
 _HostMatches = namedtuple("_HostMatches", ["idx", "valid"])
 
