@@ -78,9 +78,22 @@ def frontend_step(
     gray = im.rgb_to_gray(rgb)
     valid = (depth_m > 0.05) & (depth_m <= cfg.dyna.max_depth_m)
 
-    # flow n -> n-2 (the large-motion n-1 fallback is a host decision; the
-    # fused step always uses n-2 like the reference's primary path)
+    # flow n -> n-2 first; if >=30% of sampled pixels move >10 px, recompute
+    # against the nearer frame n-1 (reference DynaDetect.cc:1086-1131). The
+    # fallback lives INSIDE the graph as a lax.cond: the second solve only
+    # executes when triggered.
     u, v = flow_ops.flow_at_working_scale(gray, state.gray_m2, cfg.flow)
+    step = cfg.dyna.sample_grid_step
+    mag_s = jnp.sqrt(u[::step, ::step] ** 2 + v[::step, ::step] ** 2)
+    val_s = valid[::step, ::step]
+    n_ok = jnp.sum(val_s) + 1e-9
+    large_motion = (jnp.sum((mag_s > cfg.dyna.large_motion_flow_px) & val_s)
+                    / n_ok) > cfg.dyna.large_motion_frac
+    u, v = jax.lax.cond(
+        large_motion,
+        lambda _: flow_ops.flow_at_working_scale(gray, state.gray_m1, cfg.flow),
+        lambda _: (u, v),
+        None)
 
     # geometry branch (dataflow-parallel with the flow branch inside XLA)
     kml, _centers = seg_by_kmeans(depth_m, cfg.camera, cfg.dyna, state.prev_labels)
@@ -114,5 +127,5 @@ def frontend_step(
     )
     out = FrontendOutput(dyna_mask=mask_for_orb.astype(jnp.int32),
                          label_img=rr.label_img, features=feats,
-                         large_motion=fm.large_motion)
+                         large_motion=large_motion)
     return out, new_state
