@@ -7,7 +7,7 @@ Horn's closed-form SVD method, report translational RMSE.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -26,7 +26,7 @@ back-end. The driver applies the final 15x15 ellipse dilation
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

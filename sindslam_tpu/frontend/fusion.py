@@ -17,7 +17,7 @@ Re-implements the final fusion stage of ``DetectDynaArea``
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

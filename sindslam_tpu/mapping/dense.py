@@ -22,7 +22,7 @@ pubPointCloud.cc``) TPU-first:
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import numpy as np
 

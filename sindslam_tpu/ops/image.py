@@ -9,8 +9,6 @@ XLA graph; image layout is (H, W) or (H, W, C) float32 unless noted.
 
 from __future__ import annotations
 
-import functools
-import math
 from typing import Tuple
 
 import jax

@@ -16,8 +16,6 @@ sharding annotations (GSPMD); nothing here is device-count specific.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

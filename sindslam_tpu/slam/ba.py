@@ -21,7 +21,7 @@ reference fixing keyframe 0 / out-of-window anchors.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -33,7 +33,7 @@ from sindslam_tpu.geometry import se3
 from sindslam_tpu.slam import matching
 from sindslam_tpu.slam.bow import KeyFrameDatabase, Vocabulary, train_vocabulary
 from sindslam_tpu.slam.frame import FrameData, unproject_to_world
-from sindslam_tpu.slam.local_map import KeyFrame, LocalMap
+from sindslam_tpu.slam.local_map import KeyFrame
 from sindslam_tpu.slam.optimizer import pose_optimization
 from sindslam_tpu.slam.pose_graph import PoseGraph, optimize_pose_graph
 

@@ -8,11 +8,10 @@ per matching call, static shapes everywhere.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 from sindslam_tpu.frontend.orb import hamming_distance_matrix
 

@@ -17,8 +17,7 @@ Pose convention: ``Tcw`` maps world -> camera; updates are left-multiplicative
 
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

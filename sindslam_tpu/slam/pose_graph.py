@@ -17,7 +17,7 @@ arccos boundary, so the analytic form is used. Fully batched over edges.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

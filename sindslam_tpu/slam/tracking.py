@@ -24,7 +24,7 @@ from sindslam_tpu.config import CameraConfig, TrackingConfig
 from sindslam_tpu.geometry import se3
 from sindslam_tpu.slam import matching
 from sindslam_tpu.slam.frame import FrameData, project_world_points, unproject_to_world
-from sindslam_tpu.slam.optimizer import PoseOptResult, pose_optimization
+from sindslam_tpu.slam.optimizer import pose_optimization
 
 
 class TrackStepResult(NamedTuple):

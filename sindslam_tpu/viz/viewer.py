@@ -11,7 +11,7 @@ views (mask/label/flow overlays, the reference's IMGSHOW blocks in
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional
 
 import numpy as np
 
