@@ -34,6 +34,13 @@ from sindslam_tpu.ops import image as im
 def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
+    if n > len(devs):
+        raise ValueError(
+            f"make_mesh({n}) requested but only {len(devs)} device(s) visible "
+            f"on backend {jax.default_backend()!r}; for a virtual mesh set "
+            f"JAX_PLATFORM_NAME=cpu and "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={n} before "
+            f"importing jax")
     return Mesh(devs[:n], (axis,))
 
 
