@@ -158,6 +158,9 @@ class DynaConfig:
     # --- flow-residual masking (DynaDetect.cc:1023-1374)
     sample_grid_step: int = 10
     large_motion_flow_px: float = 10.0
+    # quantile semantics: "large motion" fires when the fraction of sampled
+    # pixels BELOW large_motion_flow_px drops under this (i.e. the 30th
+    # percentile of flow exceeds ~10 px, DynaDetect.cc:1196-1211)
     large_motion_frac: float = 0.30
     ransac_iters: int = 512
     ransac_thresh_px: float = 1.5
@@ -212,6 +215,16 @@ class TrackingConfig:
     max_frames_between_kf: int = 30
     kf_ref_ratio: float = 0.75   # insert KF if tracked < ratio * ref tracked
     min_tracked_points: int = 30
+    # Epipolar triangulation of new map points (LocalMapping.cc:207
+    # CreateNewMapPoints; neighbor count reduced from the reference's 10/20
+    # because each neighbor is a vmapped lane of one fused dispatch)
+    enable_triangulation: bool = True
+    triangulate_neighbors: int = 5
+    triangulate_max_hamming: int = 50
+    triangulate_min_parallax_cos: float = 0.9998
+    triangulate_epipolar_chi2: float = 3.84
+    triangulate_reproj_chi2: float = 5.991
+    triangulate_max_depth_m: float = 40.0
     # Local BA window caps (padded, static shapes on device)
     ba_max_keyframes: int = 20
     ba_max_points: int = 4096

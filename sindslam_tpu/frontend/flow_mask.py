@@ -129,11 +129,14 @@ def flow_residual_mask(
     dst = src + jnp.stack([fu, fv], axis=-1)
     wts = weight_map[yy, xx] * valid[yy, xx].astype(jnp.float32)
 
-    # --- large-motion test on sampled flow magnitudes (DynaDetect.cc:1086-1114)
+    # --- large-motion test on sampled flow magnitudes (DynaDetect.cc:1086-1114):
+    # fires when the `large_motion_frac`-quantile (30th pct) of flow exceeds
+    # `large_motion_flow_px`, i.e. when the fraction of pixels BELOW the
+    # threshold drops under the quantile.
     fmag = jnp.sqrt(fu * fu + fv * fv)
     n_ok = jnp.sum(valid[yy, xx]) + 1e-9
-    large_motion = (jnp.sum((fmag > cfg.large_motion_flow_px) & valid[yy, xx]) / n_ok
-                    ) > cfg.large_motion_frac
+    frac_below = jnp.sum((fmag <= cfg.large_motion_flow_px) & valid[yy, xx]) / n_ok
+    large_motion = frac_below < cfg.large_motion_frac
 
     # --- camera-motion homography
     H, _inl = ransac_homography(src, dst, wts, key,

@@ -202,9 +202,11 @@ def rag_merge(
 
     # ---- fixed-iteration greedy merge with union-find parents
     def roots_of(parent):
+        # real pointer doubling: r <- r[r] squares the reach each iteration,
+        # so 5 steps resolve chains up to 2^5 = 32 >= K deep
         r = parent
-        for _ in range(5):   # 2^5 = 32 >= K chain depth
-            r = parent[r]
+        for _ in range(5):
+            r = r[r]
         return r
 
     def merge_step(state, _):

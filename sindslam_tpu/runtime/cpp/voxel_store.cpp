@@ -58,6 +58,10 @@ struct VoxelStore {
 
   std::deque<Batch> queue;
   std::mutex mu;
+  // Guards `cells`: held by the worker for each integrate() and by every
+  // reader (size/export/save). Separate from `mu` so enqueue never blocks
+  // behind a long integration.
+  std::mutex cells_mu;
   std::condition_variable cv;
   std::condition_variable cv_done;
   std::atomic<bool> stop{false};
@@ -65,6 +69,7 @@ struct VoxelStore {
   std::thread worker;
 
   void integrate(const Batch& b) {
+    std::lock_guard<std::mutex> lk(cells_mu);
     const size_t n = b.hit.size();
     for (size_t i = 0; i < n; ++i) {
       int64_t key = pack(b.xyz[3 * i], b.xyz[3 * i + 1], b.xyz[3 * i + 2]);
@@ -156,13 +161,18 @@ void vstore_flush(void* h) {
   s->cv_done.wait(lk, [&] { return s->pending == 0; });
 }
 
-int64_t vstore_size(void* h) { return (int64_t)((VoxelStore*)h)->cells.size(); }
+int64_t vstore_size(void* h) {
+  auto* s = (VoxelStore*)h;
+  std::lock_guard<std::mutex> lk(s->cells_mu);
+  return (int64_t)s->cells.size();
+}
 
 // Export occupied voxels (log_odds >= threshold AND >= min_hits hits — the
 // hit-count floor stands in for StatisticalOutlierRemoval).
 int64_t vstore_export(void* h, float min_log_odds, uint32_t min_hits,
                       int32_t* out_xyz, uint8_t* out_rgb, int64_t max_out) {
   auto* s = (VoxelStore*)h;
+  std::lock_guard<std::mutex> lk(s->cells_mu);
   int64_t n = 0;
   for (const auto& kv : s->cells) {
     if (kv.second.log_odds < min_log_odds || kv.second.hits < min_hits)
@@ -187,6 +197,7 @@ int64_t vstore_export(void* h, float min_log_odds, uint32_t min_hits,
 int vstore_save_pcd(void* h, const char* path, float min_log_odds,
                     uint32_t min_hits) {
   auto* s = (VoxelStore*)h;
+  std::lock_guard<std::mutex> lk(s->cells_mu);
   std::vector<const std::pair<const int64_t, Cell>*> keep;
   for (const auto& kv : s->cells)
     if (kv.second.log_odds >= min_log_odds && kv.second.hits >= min_hits)

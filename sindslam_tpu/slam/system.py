@@ -28,7 +28,8 @@ from collections import namedtuple
 
 from sindslam_tpu.config import SystemConfig
 from sindslam_tpu.frontend import orb
-from sindslam_tpu.slam.frame import FrameData, build_frame, unproject_to_world
+from sindslam_tpu.slam.frame import (FrameData, build_frame, to_host,
+                                     unproject_host)
 from sindslam_tpu.slam.local_map import LocalMap
 
 _HostMatches = namedtuple("_HostMatches", ["idx", "valid"])
@@ -121,13 +122,33 @@ class SlamSystem:
             flags = np.asarray(out.flags)
             n_inl = int(counts[0])
 
+        relocalized = False
         if n_inl < self.tcfg.min_tracked_points and self.relocalizer is not None:
             reloc = self.relocalizer.relocalize(frame, self)
             if reloc is not None:
                 Tcw_r, n_r = reloc
-                poses[1] = Tcw_r
-                counts[1] = n_r
-                n_inl = n_r
+                # Re-run the fused track step FROM the relocalized pose so
+                # map_match_idx/flags agree with the pose actually adopted
+                # (otherwise the next keyframe insertion associates map
+                # points from the failed wide-window dispatch).
+                out = full_track_step(
+                    self.prev_frame, jnp.asarray(prev_Twc), frame,
+                    jnp.asarray(np.asarray(Tcw_r, np.float32)),
+                    pos, desc, ok, self.cam, self.tcfg,
+                    self.tcfg.search_radius_coarse)
+                poses = np.asarray(out.poses)
+                counts = np.asarray(out.counts)
+                flags = np.asarray(out.flags)
+                if int(counts[1]) >= self.tcfg.min_tracked_points:
+                    n_inl = int(counts[1])
+                else:
+                    # keep the relocalized pose; the stale match bookkeeping
+                    # must not be trusted, so clear it
+                    poses[1] = Tcw_r
+                    counts[1] = n_r
+                    flags[:] = False
+                    n_inl = n_r
+                relocalized = True
 
         if n_inl < self.tcfg.min_tracked_points:
             # lost: extrapolate, record, and wait for relocalization
@@ -145,10 +166,21 @@ class SlamSystem:
         inl_mask = flags[1]
         vis = flags[2] & (ids >= 0)
         self.map.n_visible[ids[vis]] += 1
+        # Per-frame found bookkeeping (ref Tracking.cc:987 IncreaseFound):
+        # inlier-matched map points count as found EVERY tracked frame, so
+        # the found-ratio used by cull_points is comparable to the 0.25
+        # threshold the reference uses.
+        found = inl_mask & (ids >= 0)
+        self.map.n_found[ids[found]] += 1
         m = _HostMatches(idx=np.asarray(out.map_match_idx), valid=m_valid)
 
-        # 3) velocity + keyframe policy
-        self.velocity = (Tcw_cur @ np.linalg.inv(self.Tcw)).astype(np.float32)
+        # 3) velocity + keyframe policy. After relocalization the motion
+        # model is meaningless (the reference clears mVelocity); keep
+        # identity so the next prediction starts from the adopted pose.
+        if relocalized:
+            self.velocity = np.eye(4, dtype=np.float32)
+        else:
+            self.velocity = (Tcw_cur @ np.linalg.inv(self.Tcw)).astype(np.float32)
         self.Tcw = Tcw_cur.astype(np.float32)
         self.frames_since_kf += 1
 
@@ -174,14 +206,14 @@ class SlamSystem:
         """RGB-D initialization: every valid-depth keypoint becomes a map
         point (reference Tracking::StereoInitialization)."""
         self.Tcw = np.eye(4, dtype=np.float32)
-        pts_w = np.asarray(unproject_to_world(frame, jnp.eye(4), self.cam))
-        valid = np.asarray(frame.valid & (frame.depth > 0))
-        descs = np.asarray(frame.desc)
-        idx = np.where(valid)[0]
-        ids = self.map.allocate_points(pts_w[idx], descs[idx], 0)
+        host = to_host(frame)
+        pts_w = unproject_host(host, np.eye(4, dtype=np.float32), self.cam)
+        idx = np.where(host.valid & (host.depth > 0))[0]
+        ids = self.map.allocate_points(pts_w[idx], host.desc[idx], 0)
         point_ids = np.full(frame.xy.shape[0], -1, np.int64)
         point_ids[idx] = ids
-        self.map.insert_keyframe(frame, self.Tcw, point_ids, timestamp)
+        self.map.insert_keyframe(frame, self.Tcw, point_ids, timestamp,
+                                 host=host)
         self.prev_frame = frame
         self.ref_tracked = len(idx)
         self._record(timestamp)
@@ -190,33 +222,34 @@ class SlamSystem:
                          inl_mask, timestamp: float) -> None:
         N = frame.xy.shape[0]
         point_ids = np.full(N, -1, np.int64)
+        host = to_host(frame)
 
         # keypoints matched to existing map points keep them
         if map_matches is not None:
             mv = np.asarray(map_matches.valid)
             tgt = np.asarray(map_matches.idx)
-            for src_i in np.where(mv)[0]:
-                pid = map_ids[src_i]
-                if pid >= 0:
-                    kp = tgt[src_i]
-                    point_ids[kp] = pid
-                    self.map.n_found[pid] += 1
+            # n_found is incremented per tracked frame in track_frame (ref
+            # Tracking.cc:987); here only the observation association is made.
+            src = np.where(mv)[0]
+            pids = map_ids[src]
+            keep = pids >= 0
+            point_ids[tgt[src[keep]]] = pids[keep]
 
         # unmatched keypoints with valid depth spawn new points
-        valid = np.asarray(frame.valid & (frame.depth > 0))
-        depth = np.asarray(frame.depth)
-        close = depth < (self.cam.th_depth * self.cam.baseline)
+        valid = host.valid & (host.depth > 0)
+        close = host.depth < (self.cam.th_depth * self.cam.baseline)
         new_idx = np.where(valid & close & (point_ids < 0))[0]
         if len(new_idx):
-            Twc = np.linalg.inv(self.Tcw)
-            pts_w = np.asarray(unproject_to_world(
-                frame, jnp.asarray(Twc.astype(np.float32)), self.cam))
-            ids = self.map.allocate_points(pts_w[new_idx],
-                                           np.asarray(frame.desc)[new_idx],
+            Twc = np.linalg.inv(self.Tcw).astype(np.float32)
+            pts_w = unproject_host(host, Twc, self.cam)
+            ids = self.map.allocate_points(pts_w[new_idx], host.desc[new_idx],
                                            len(self.map.keyframes))
             point_ids[new_idx] = ids
 
-        kf = self.map.insert_keyframe(frame, self.Tcw, point_ids, timestamp)
+        kf = self.map.insert_keyframe(frame, self.Tcw, point_ids, timestamp,
+                                      host=host)
+        if self.tcfg.enable_triangulation:
+            self._triangulate_new_points(kf, host)
         self.map.fuse_duplicates(kf)
         self.map.cull_points(len(self.map.keyframes) - 1)
         self.map.cull_keyframes()
@@ -227,6 +260,42 @@ class SlamSystem:
             self.relocalizer.add_keyframe(kf)
             if self.enable_loop_closing:
                 self.relocalizer.try_close_loop(self)
+
+    def _triangulate_new_points(self, kf, host) -> None:
+        """Epipolar triangulation of still-unmatched keypoints against the
+        covisible neighbors (ref LocalMapping::CreateNewMapPoints,
+        LocalMapping.cc:207): maps structure beyond the RGB-D depth range."""
+        from sindslam_tpu.slam.triangulation import triangulate_with_neighbors
+
+        nbrs = self.map.covisible_keyframes(
+            kf, k=self.tcfg.triangulate_neighbors)
+        # require real baseline to the neighbor (ref checks baseline/depth)
+        nbrs = [n for n in nbrs
+                if np.linalg.norm((np.linalg.inv(n.Tcw) @ kf.Tcw)[:3, 3])
+                > 0.5 * self.cam.baseline]
+        if not nbrs:
+            return
+        free = (kf.point_ids < 0) & host.valid
+        if not free.any():
+            return
+        packed = triangulate_with_neighbors(
+            kf.frame, jnp.asarray(free), jnp.asarray(kf.Tcw),
+            jnp.stack([n.frame.xy for n in nbrs]),
+            jnp.stack([n.frame.desc for n in nbrs]),
+            jnp.stack([n.frame.level for n in nbrs]),
+            jnp.stack([jnp.asarray(n.point_ids < 0) & n.frame.valid
+                       for n in nbrs]),
+            jnp.asarray(np.stack([n.Tcw for n in nbrs]).astype(np.float32)),
+            self.cam, self.tcfg)
+        packed = np.asarray(packed)           # one readback
+        ok = (packed[:, 3] > 0.5) & free
+        idx = np.where(ok)[0]
+        if len(idx) == 0:
+            return
+        ids = self.map.allocate_points(packed[idx, :3], host.desc[idx],
+                                       kf.kf_id)
+        alloc = ids >= 0
+        self.map.add_observations(kf, idx[alloc], ids[alloc])
 
     def _record(self, timestamp: float) -> None:
         ref = self.map.keyframes[-1] if self.map.keyframes else None
@@ -266,9 +335,10 @@ class SlamSystem:
         write_tum_trajectory(path, ts, poses)
 
     def shutdown(self) -> None:
-        """Final global refinement pass over the whole keyframe set (the
-        reference leaves this to LoopClosing's GBA; here a windowed sweep)."""
-        self.map.run_local_ba()
+        """Final global bundle adjustment over the whole keyframe set
+        (role of the reference's RunGlobalBundleAdjustment,
+        LoopClosing.cc:645 / Optimizer.cc:41)."""
+        self.map.run_global_ba()
 
     # --------------------------------------------------- map save / load
 
@@ -322,6 +392,9 @@ class SlamSystem:
         m.keyframes = []
         from sindslam_tpu.slam.local_map import KeyFrame
 
+        from sindslam_tpu.slam.frame import HostFrame
+
+        obs_pid, obs_kf = [], []
         for k in range(int(data["n_keyframes"])):
             p = f"kf{k}_"
             frame = FrameData(
@@ -333,12 +406,23 @@ class SlamSystem:
                 depth=jnp.asarray(data[p + "depth"]),
                 ur=jnp.asarray(data[p + "ur"]),
                 timestamp=float(data[p + "ts"]))
+            host = HostFrame(
+                xy=data[p + "xy"], level=data[p + "level"].astype(np.int32),
+                angle=data[p + "angle"], desc=data[p + "desc"],
+                valid=data[p + "valid"], depth=data[p + "depth"],
+                ur=data[p + "ur"])
             kf = KeyFrame(kf_id=k, frame=frame, Tcw=data[p + "Tcw"],
                           point_ids=data[p + "pids"],
-                          timestamp=float(data[p + "ts"]))
+                          timestamp=float(data[p + "ts"]), host=host)
             m.keyframes.append(kf)
+            seen = np.unique(kf.point_ids[kf.point_ids >= 0])
+            obs_pid.append(seen)
+            obs_kf.append(np.full(len(seen), k, np.int32))
             if self.relocalizer is not None:
                 self.relocalizer.add_keyframe(kf)
+        if obs_pid:
+            m._obs_pid = np.concatenate(obs_pid)
+            m._obs_kf = np.concatenate(obs_kf)
         if m.keyframes:
             self.Tcw = m.keyframes[-1].Tcw.astype(np.float32)
             self.prev_frame = m.keyframes[-1].frame
