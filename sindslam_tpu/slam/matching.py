@@ -70,6 +70,36 @@ def match_by_projection(
     return Matches(idx=jnp.where(ok, best, -1), dist=best_d, valid=ok)
 
 
+def filter_rotation_consistency(
+    m: Matches,
+    src_angle: jnp.ndarray,   # (M,) float32 radians
+    tgt_angle: jnp.ndarray,   # (N,) float32 radians
+    n_bins: int = 30,
+    top_k: int = 3,
+) -> Matches:
+    """Rotation-histogram consistency check (ref ``ORBmatcher.cc:45-140``).
+
+    The relative orientation src-tgt of correct matches under camera motion
+    concentrates in a few bins; matches outside the ``top_k`` most-populated
+    30-bin orientations are rejected (a dominant outlier filter in dynamic
+    scenes). Secondary bins under 10% of the max bin are also dropped, like
+    the reference's ``ComputeThreeMaxima``.
+    """
+    tgt = jnp.maximum(m.idx, 0)
+    two_pi = 2.0 * jnp.pi
+    rot = jnp.mod(src_angle - tgt_angle[tgt], two_pi)
+    b = jnp.clip((rot / two_pi * n_bins).astype(jnp.int32), 0, n_bins - 1)
+    onehot = (b[:, None] == jnp.arange(n_bins)[None, :]) & m.valid[:, None]
+    hist = jnp.sum(onehot, axis=0)
+    hist_desc = -jnp.sort(-hist)
+    kth = hist_desc[top_k - 1]
+    max1 = hist_desc[0]
+    keep_bin = (hist >= jnp.maximum(kth, 1)) & \
+               (hist.astype(jnp.float32) >= 0.1 * max1.astype(jnp.float32))
+    ok = m.valid & keep_bin[b]
+    return Matches(idx=jnp.where(ok, m.idx, -1), dist=m.dist, valid=ok)
+
+
 def match_mutual_nn(
     desc_a: jnp.ndarray, valid_a: jnp.ndarray,
     desc_b: jnp.ndarray, valid_b: jnp.ndarray,

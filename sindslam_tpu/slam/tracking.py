@@ -52,6 +52,10 @@ def track_against_frame(
         cur.xy, cur.desc, cur.level, cur.valid,
         radius=radius, max_dist=cfg.hamming_th_high,
     )
+    # orientation-consistency filter (ref ORBmatcher.cc:45-140 uses it in
+    # every frame<->frame search; map points carry no angle, so the map
+    # match below stays unfiltered, like the reference's frame<->map path)
+    m = matching.filter_rotation_consistency(m, prev.angle, cur.angle)
     tgt = jnp.maximum(m.idx, 0)
     obs_uv = cur.xy[tgt]
     obs_ur = jnp.where(m.valid, cur.ur[tgt], -1.0)

@@ -120,6 +120,28 @@ def test_match_unique_assignment():
     assert v[0] and not v[1]
 
 
+def test_rotation_consistency_rejects_rotated_outliers():
+    """Reference ORBmatcher.cc:45-140: matches whose relative orientation
+    falls outside the 3 dominant 12-degree bins are rejected."""
+    n = 64
+    idx = jnp.arange(n, dtype=jnp.int32)
+    m = matching.Matches(idx=idx, dist=jnp.zeros(n, jnp.int32),
+                         valid=jnp.ones(n, bool))
+    src_angle = jnp.zeros(n, jnp.float32)
+    # most targets rotated ~0.05 rad; 6 outliers scattered across distinct
+    # orientations (each far below 10% of the dominant bin)
+    tgt_angle = np.full(n, 0.05, np.float32)
+    out = np.arange(0, 60, 10)
+    tgt_angle[out] = 1.0 + 0.5 * np.arange(len(out), dtype=np.float32)
+    f = matching.filter_rotation_consistency(m, src_angle,
+                                             jnp.asarray(tgt_angle))
+    v = np.asarray(f.valid)
+    assert not v[out].any(), "rotated outliers must be rejected"
+    inl = np.setdiff1d(np.arange(n), out)
+    assert v[inl].all(), "consistent matches must survive"
+    assert (np.asarray(f.idx)[out] == -1).all()
+
+
 def test_mutual_nn_ratio():
     rng = np.random.default_rng(4)
     a = rng.integers(0, 2 ** 32, (32, 8), dtype=np.uint32)
