@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import numpy as np
+
 import jax.numpy as jnp
 
 from sindslam_tpu.config import CameraConfig
@@ -46,6 +48,49 @@ def build_frame(feats: OrbFeatures, depth_img: jnp.ndarray, cam: CameraConfig,
     return FrameData(xy=feats.xy, level=feats.level, angle=feats.angle,
                      desc=feats.desc, valid=feats.valid, depth=z, ur=ur,
                      timestamp=timestamp)
+
+
+class HostFrame(NamedTuple):
+    """Host (numpy) copy of a frame's feature tensors.
+
+    Map bookkeeping (covisibility, BA-window assembly, keyframe insertion)
+    is host-side; through the axon tunnel each device->host transfer costs a
+    ~25 ms round trip, so keyframes cache ONE packed readback instead of
+    re-fetching per use.
+    """
+
+    xy: np.ndarray       # (N, 2) float32
+    level: np.ndarray    # (N,) int32
+    angle: np.ndarray    # (N,) float32
+    desc: np.ndarray     # (N, 8) uint32
+    valid: np.ndarray    # (N,) bool
+    depth: np.ndarray    # (N,) float32
+    ur: np.ndarray       # (N,) float32
+
+
+def to_host(frame: FrameData) -> HostFrame:
+    """Materialize a frame to host with 2 transfers (one f32 pack + desc)."""
+    pack = jnp.concatenate(
+        [frame.xy,
+         frame.ur[:, None], frame.depth[:, None],
+         frame.level.astype(jnp.float32)[:, None],
+         frame.angle[:, None],
+         frame.valid.astype(jnp.float32)[:, None]], axis=1)
+    h = np.asarray(pack)
+    d = np.asarray(frame.desc)
+    return HostFrame(xy=np.ascontiguousarray(h[:, :2]), ur=h[:, 2],
+                     depth=h[:, 3], level=h[:, 4].astype(np.int32),
+                     angle=h[:, 5], valid=h[:, 6] > 0.5, desc=d)
+
+
+def unproject_host(host: HostFrame, Twc: np.ndarray, cam: CameraConfig
+                   ) -> np.ndarray:
+    """(N, 3) world points from a host frame — pure numpy, no device trip."""
+    z = host.depth
+    x = (host.xy[:, 0] - cam.cx) / cam.fx * z
+    y = (host.xy[:, 1] - cam.cy) / cam.fy * z
+    pc = np.stack([x, y, z], axis=-1).astype(np.float32)
+    return pc @ Twc[:3, :3].T.astype(np.float32) + Twc[:3, 3].astype(np.float32)
 
 
 def unproject_to_world(frame: FrameData, Twc: jnp.ndarray, cam: CameraConfig

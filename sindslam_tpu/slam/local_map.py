@@ -16,7 +16,7 @@ redundancy cull is deferred to the loop-closing round).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from sindslam_tpu.config import CameraConfig, TrackingConfig
 from sindslam_tpu.slam.ba import BAProblem, local_bundle_adjustment
-from sindslam_tpu.slam.frame import FrameData
+from sindslam_tpu.slam.frame import FrameData, HostFrame, to_host
 
 
 @dataclass
@@ -35,6 +35,13 @@ class KeyFrame:
     point_ids: np.ndarray         # (N,) int64 map-point id per keypoint, -1 none
     timestamp: float
     culled: bool = False          # redundant KFs are excluded, not deleted
+    host: Optional[HostFrame] = None  # cached host copy of the feature tensors
+
+    @property
+    def h(self) -> HostFrame:
+        if self.host is None:
+            self.host = to_host(self.frame)
+        return self.host
 
 
 class LocalMap:
@@ -53,6 +60,11 @@ class LocalMap:
         self.created_kf = np.zeros(P, np.int32)
         self._next = 0
         self.keyframes: List[KeyFrame] = []
+        # flat observation pairs (map-point id, keyframe id), appended at
+        # keyframe insertion — all covisibility queries are bincounts over
+        # these instead of per-keyframe set intersections
+        self._obs_pid = np.zeros(0, np.int64)
+        self._obs_kf = np.zeros(0, np.int32)
 
     # ------------------------------------------------------------- points
 
@@ -110,21 +122,27 @@ class LocalMap:
         tree = cKDTree(self.pos[old_idx])
         d, nn = tree.query(self.pos[new_ids], distance_upper_bound=dist_m)
         close = np.isfinite(d)
-        n_fused = 0
-        # descriptor check via popcount
-        for ni, is_close, nnk in zip(new_ids, close, nn):
-            if not is_close:
-                continue
-            oi = old_idx[nnk]
-            ham = bin(int.from_bytes(
-                (self.desc[ni] ^ self.desc[oi]).tobytes(), "little")).count("1")
-            if ham > max_hamming:
-                continue
-            kf.point_ids[kf.point_ids == ni] = oi
-            self.valid[ni] = False
-            self.n_obs[oi] += 1
-            n_fused += 1
-        return n_fused
+        cand_new = new_ids[close]
+        cand_old = old_idx[nn[close]]
+        if len(cand_new) == 0:
+            return 0
+        # batched popcount descriptor check
+        xor = (self.desc[cand_new] ^ self.desc[cand_old]).view(np.uint8)
+        ham = np.unpackbits(xor, axis=1).sum(axis=1)
+        accept = ham <= max_hamming
+        src = cand_new[accept]
+        dst = cand_old[accept]
+        if len(src) == 0:
+            return 0
+        # redirect this keyframe's observations and the flat obs pairs
+        remap = np.arange(self.cfg.max_map_points, dtype=np.int64)
+        remap[src] = dst
+        pos_mask = kf.point_ids >= 0
+        kf.point_ids[pos_mask] = remap[kf.point_ids[pos_mask]]
+        self._obs_pid = remap[self._obs_pid]
+        self.valid[src] = False
+        np.add.at(self.n_obs, dst, 1)
+        return len(src)
 
     def cull_keyframes(self, protect_last: int = 3, redundancy: float = 0.9
                        ) -> int:
@@ -149,90 +167,114 @@ class LocalMap:
     # ---------------------------------------------------------- keyframes
 
     def insert_keyframe(self, frame: FrameData, Tcw: np.ndarray,
-                        point_ids: np.ndarray, timestamp: float) -> KeyFrame:
+                        point_ids: np.ndarray, timestamp: float,
+                        host: Optional[HostFrame] = None) -> KeyFrame:
         kf = KeyFrame(kf_id=len(self.keyframes), frame=frame,
                       Tcw=Tcw.copy(), point_ids=point_ids.copy(),
-                      timestamp=timestamp)
+                      timestamp=timestamp, host=host)
         self.keyframes.append(kf)
-        seen = point_ids[point_ids >= 0]
+        seen = np.unique(point_ids[point_ids >= 0])
         self.n_obs[seen] += 1
+        self._obs_pid = np.concatenate([self._obs_pid, seen])
+        self._obs_kf = np.concatenate(
+            [self._obs_kf, np.full(len(seen), kf.kf_id, np.int32)])
         return kf
+
+    def add_observations(self, kf: KeyFrame, kp_idx: np.ndarray,
+                         pids: np.ndarray) -> None:
+        """Associate additional map points with a keyframe AFTER insertion
+        (triangulated points), keeping obs pairs / n_obs consistent."""
+        kf.point_ids[kp_idx] = pids
+        seen = np.unique(pids)
+        self.n_obs[seen] += 1
+        self._obs_pid = np.concatenate([self._obs_pid, seen])
+        self._obs_kf = np.concatenate(
+            [self._obs_kf, np.full(len(seen), kf.kf_id, np.int32)])
 
     def covisible_keyframes(self, kf: KeyFrame, k: int = 10,
                             min_shared: int = 15) -> List[KeyFrame]:
-        """Keyframes sharing >= min_shared map points, strongest first."""
-        mine = set(kf.point_ids[kf.point_ids >= 0].tolist())
-        weights = []
+        """Keyframes sharing >= min_shared map points, strongest first.
+
+        One bincount over the flat observation pairs (KeyFrame::
+        UpdateConnections role) — no per-keyframe set intersections.
+        """
+        mine = np.zeros(self.cfg.max_map_points, bool)
+        pids = kf.point_ids[kf.point_ids >= 0]
+        mine[pids[self.valid[pids]]] = True
+        sel = mine[self._obs_pid]
+        counts = np.bincount(self._obs_kf[sel],
+                             minlength=len(self.keyframes))
+        counts[kf.kf_id] = 0
         for other in self.keyframes:
-            if other.kf_id == kf.kf_id or other.culled:
-                continue
-            shared = len(mine.intersection(
-                other.point_ids[other.point_ids >= 0].tolist()))
-            if shared >= min_shared:
-                weights.append((shared, other))
-        weights.sort(key=lambda x: -x[0])
-        return [o for _, o in weights[:k]]
+            if other.culled:
+                counts[other.kf_id] = 0
+        order = np.argsort(-counts, kind="stable")[:k]
+        return [self.keyframes[i] for i in order if counts[i] >= min_shared]
 
     # --------------------------------------------------------------- BA
 
-    def build_ba_window(self, n_recent: Optional[int] = None
+    def build_ba_window(self, n_recent: Optional[int] = None,
+                        window: Optional[List[KeyFrame]] = None
                         ) -> Optional[Tuple[BAProblem, List[KeyFrame], np.ndarray]]:
-        """Assemble a padded BAProblem over the most recent keyframes.
+        """Assemble a padded BAProblem over a keyframe window (default: the
+        most recent keyframes).
 
         Returns (problem, window_kfs, point_id_lut) or None if too small.
         point_id_lut maps BA point slots -> global map-point ids.
         """
         cfg = self.cfg
-        W = n_recent or cfg.ba_max_keyframes
-        window = [k for k in self.keyframes if not k.culled][-W:]
+        if window is None:
+            W = n_recent or cfg.ba_max_keyframes
+            window = [k for k in self.keyframes if not k.culled][-W:]
         if len(window) < 2:
             return None
 
-        # collect the union of observed points (cap ba_max_points).
-        # IMPORTANT: materialize each keyframe's feature tensors to host ONCE
-        # — indexing a device array per observation costs a full tunnel
-        # round-trip (~25 ms) each, i.e. minutes per BA window.
-        host_kf = [(np.asarray(kf.frame.xy), np.asarray(kf.frame.ur),
-                    np.asarray(kf.frame.level)) for kf in window]
-        pid_set: Dict[int, int] = {}
-        obs: List[Tuple[int, int, int]] = []   # (kf slot, pt slot, keypoint idx)
-        for s, kf in enumerate(window):
-            ids = kf.point_ids
-            for ki in np.where(ids >= 0)[0]:
-                pid = int(ids[ki])
-                if not self.valid[pid]:
-                    continue
-                if pid not in pid_set:
-                    if len(pid_set) >= cfg.ba_max_points:
-                        continue
-                    pid_set[pid] = len(pid_set)
-                obs.append((s, pid_set[pid], int(ki)))
-        if len(obs) < 30:
+        # collect the union of observed points (cap ba_max_points) with
+        # numpy gathers over the stacked per-keyframe point_ids — no
+        # per-observation Python loop. Feature tensors come from the
+        # keyframes' cached host copies (one packed readback at insertion).
+        ids_all = np.stack([kf.point_ids for kf in window])        # (S, N)
+        s_idx, ki_idx = np.nonzero(ids_all >= 0)
+        pid = ids_all[s_idx, ki_idx]
+        keep = self.valid[pid]
+        s_idx, ki_idx, pid = s_idx[keep], ki_idx[keep], pid[keep]
+        if len(pid) < 30:
+            return None
+
+        # first-seen-order unique point slots, capped at ba_max_points
+        uniq, first = np.unique(pid, return_index=True)
+        uniq = uniq[np.argsort(first)][:cfg.ba_max_points]
+        slot_of = np.full(cfg.max_map_points, -1, np.int64)
+        slot_of[uniq] = np.arange(len(uniq))
+        pslot = slot_of[pid]
+        keep = pslot >= 0
+        s_idx, ki_idx, pslot = s_idx[keep], ki_idx[keep], pslot[keep]
+        if len(pslot) < 30:
             return None
 
         P = cfg.ba_max_points
         lut = np.full(P, -1, np.int64)
-        for pid, slot in pid_set.items():
-            lut[slot] = pid
+        lut[:len(uniq)] = uniq
         pts = np.zeros((P, 3), np.float32)
-        pts[:len(pid_set)] = self.pos[lut[:len(pid_set)]]
+        pts[:len(uniq)] = self.pos[uniq]
 
         M = 4 * P
-        obs = obs[:M]
+        n_obs = min(len(pslot), M)
+        host_xy = np.stack([kf.h.xy for kf in window])             # (S, N, 2)
+        host_ur = np.stack([kf.h.ur for kf in window])
+        host_lvl = np.stack([kf.h.level for kf in window])
         obs_kf = np.zeros(M, np.int32)
         obs_pt = np.zeros(M, np.int32)
         obs_uv = np.zeros((M, 2), np.float32)
         obs_ur = np.full(M, -1.0, np.float32)
         obs_lvl = np.zeros(M, np.int32)
         obs_ok = np.zeros(M, bool)
-        for i, (s, pslot, ki) in enumerate(obs):
-            xy_h, ur_h, lvl_h = host_kf[s]
-            obs_kf[i] = s
-            obs_pt[i] = pslot
-            obs_uv[i] = xy_h[ki]
-            obs_ur[i] = ur_h[ki]
-            obs_lvl[i] = lvl_h[ki]
-            obs_ok[i] = True
+        obs_kf[:n_obs] = s_idx[:n_obs]
+        obs_pt[:n_obs] = pslot[:n_obs]
+        obs_uv[:n_obs] = host_xy[s_idx[:n_obs], ki_idx[:n_obs]]
+        obs_ur[:n_obs] = host_ur[s_idx[:n_obs], ki_idx[:n_obs]]
+        obs_lvl[:n_obs] = host_lvl[s_idx[:n_obs], ki_idx[:n_obs]]
+        obs_ok[:n_obs] = True
 
         poses = np.stack([kf.Tcw for kf in window]).astype(np.float32)
         K = cfg.ba_max_keyframes
@@ -253,9 +295,10 @@ class LocalMap:
         )
         return problem, window, lut
 
-    def run_local_ba(self) -> Optional[float]:
-        """Local BA over the recent window; writes back poses and points."""
-        built = self.build_ba_window()
+    def run_local_ba(self, window: Optional[List[KeyFrame]] = None
+                     ) -> Optional[float]:
+        """Local BA over a window (default recent); writes back poses/points."""
+        built = self.build_ba_window(window=window)
         if built is None:
             return None
         problem, window, lut = built
@@ -271,6 +314,31 @@ class LocalMap:
         self.pos[ids] = pts[:n_used]
         return float(res.mean_chi2)
 
+    def run_global_ba(self, passes: int = 2) -> Optional[float]:
+        """Full-map bundle adjustment as overlapping windowed sweeps.
+
+        The role of the reference's ``RunGlobalBundleAdjustment``
+        (``LoopClosing.cc:579,645`` / ``Optimizer.cc:41``), re-shaped for the
+        padded dense-Schur device solver: windows of ``ba_max_keyframes``
+        slide over the whole keyframe backbone with 50% overlap, each window
+        anchored at its first keyframe (already refined by the previous
+        window), so corrections propagate end to end; ``passes`` sweeps
+        tighten the seams.
+        """
+        alive = [k for k in self.keyframes if not k.culled]
+        W = self.cfg.ba_max_keyframes
+        if len(alive) <= W:
+            return self.run_local_ba()
+        step = max(W // 2, 1)
+        starts = list(range(0, len(alive) - W + 1, step))
+        if starts[-1] != len(alive) - W:
+            starts.append(len(alive) - W)
+        chi2 = None
+        for _ in range(passes):
+            for s in starts:
+                chi2 = self.run_local_ba(window=alive[s:s + W]) or chi2
+        return chi2
+
     # ----------------------------------------------------------- queries
 
     def local_point_tensors(self, around_kf: Optional[KeyFrame] = None
@@ -282,26 +350,22 @@ class LocalMap:
         P = cfg.ba_max_points
         if around_kf is None and self.keyframes:
             around_kf = self.keyframes[-1]
-        pid_list: List[int] = []
+        pid_arr = np.zeros(0, np.int64)
         if around_kf is not None:
             kfs = [around_kf] + self.covisible_keyframes(around_kf)
-            seen = set()
-            for kf in kfs:
-                for pid in kf.point_ids[kf.point_ids >= 0].tolist():
-                    if pid not in seen and self.valid[pid]:
-                        seen.add(pid)
-                        pid_list.append(pid)
-                        if len(pid_list) >= P:
-                            break
-                if len(pid_list) >= P:
-                    break
+            all_ids = np.concatenate([kf.point_ids for kf in kfs])
+            all_ids = all_ids[all_ids >= 0]
+            all_ids = all_ids[self.valid[all_ids]]
+            uniq, first = np.unique(all_ids, return_index=True)
+            pid_arr = uniq[np.argsort(first)][:P]   # first-seen order
+        n = len(pid_arr)
         ids = np.full(P, -1, np.int64)
-        ids[:len(pid_list)] = pid_list
+        ids[:n] = pid_arr
         pos = np.zeros((P, 3), np.float32)
         desc = np.zeros((P, 8), np.uint32)
         ok = np.zeros(P, bool)
-        if pid_list:
-            pos[:len(pid_list)] = self.pos[pid_list]
-            desc[:len(pid_list)] = self.desc[pid_list]
-            ok[:len(pid_list)] = True
+        if n:
+            pos[:n] = self.pos[pid_arr]
+            desc[:n] = self.desc[pid_arr]
+            ok[:n] = True
         return jnp.asarray(pos), jnp.asarray(desc), jnp.asarray(ok), ids

@@ -96,6 +96,74 @@ def test_ba_reduces_error():
     assert float(res.mean_chi2) < 3.0
 
 
+def test_global_ba_windowed_sweep_refines_whole_map():
+    """run_global_ba (role of Optimizer.cc:41 GlobalBundleAdjustemnt):
+    overlapping windows refine a map LONGER than one BA window end-to-end."""
+    from sindslam_tpu.slam.frame import FrameData, HostFrame
+    from sindslam_tpu.slam.local_map import LocalMap
+
+    rng = np.random.default_rng(5)
+    tcfg = TrackingConfig(ba_max_keyframes=4, ba_max_points=256,
+                          ba_iterations=8)
+    m = LocalMap(CAM, tcfg)
+    n_kf, n_pts = 10, 150
+    gt_poses = np.stack([np.eye(4, dtype=np.float32) for _ in range(n_kf)])
+    for k in range(n_kf):
+        gt_poses[k][:3, 3] = [-0.12 * k, 0.01 * k, 0.0]
+    gt_pts = rng.uniform([-2.5, -2, 2.5], [2.5, 2, 7.0],
+                         (n_pts, 3)).astype(np.float32)
+
+    noisy_pts = gt_pts + rng.normal(0, 0.04, gt_pts.shape).astype(np.float32)
+    ids = m.allocate_points(noisy_pts, rng.integers(
+        0, 2 ** 32, (n_pts, 8), dtype=np.uint32), 0)
+
+    for k in range(n_kf):
+        R, t = gt_poses[k][:3, :3], gt_poses[k][:3, 3]
+        pc = gt_pts @ R.T + t
+        u = CAM.fx * pc[:, 0] / pc[:, 2] + CAM.cx
+        v = CAM.fy * pc[:, 1] / pc[:, 2] + CAM.cy
+        ur = u - CAM.bf / pc[:, 2]
+        ok = (u > 10) & (u < 630) & (v > 10) & (v < 470)
+        xy = np.stack([u, v], -1).astype(np.float32)
+        init = gt_poses[k].copy()
+        if k > 0:
+            xi = rng.normal(0, 0.015, 6).astype(np.float32)
+            init = np.asarray(se3.se3_exp(jnp.asarray(xi)[None]))[0] @ init
+        host = HostFrame(xy=xy, level=np.zeros(n_pts, np.int32),
+                         angle=np.zeros(n_pts, np.float32),
+                         desc=m.desc[:n_pts].copy(), valid=ok,
+                         depth=pc[:, 2].astype(np.float32),
+                         ur=ur.astype(np.float32))
+        frame = FrameData(
+            xy=jnp.asarray(xy), level=jnp.zeros(n_pts, jnp.int32),
+            angle=jnp.zeros(n_pts, jnp.float32),
+            desc=jnp.asarray(host.desc), valid=jnp.asarray(ok),
+            depth=jnp.asarray(host.depth), ur=jnp.asarray(host.ur))
+        pids = np.where(ok, ids, -1)
+        m.insert_keyframe(frame, init.astype(np.float32), pids, float(k),
+                          host=host)
+
+    def pose_err():
+        e = 0.0
+        for k in range(1, n_kf):
+            d = np.asarray(se3.se3_log(jnp.asarray(
+                (m.keyframes[k].Tcw @ np.linalg.inv(gt_poses[k]))[None]
+                .astype(np.float32))))[0]
+            e += np.linalg.norm(d)
+        return e
+
+    before = pose_err()
+    m.run_global_ba(passes=2)
+    after = pose_err()
+    assert after < 0.35 * before, (before, after)
+    # EVERY keyframe (not just the last window) improved
+    for k in range(4, n_kf):
+        d = np.asarray(se3.se3_log(jnp.asarray(
+            (m.keyframes[k].Tcw @ np.linalg.inv(gt_poses[k]))[None]
+            .astype(np.float32))))[0]
+        assert np.linalg.norm(d) < 0.02
+
+
 def test_ba_fixed_pose_untouched():
     rng = np.random.default_rng(1)
     problem, gt_poses, _, _ = _make_problem(rng)
