@@ -97,6 +97,13 @@ class Relocalizer:
         self._pending_kfs: List[KeyFrame] = []
         self._key = jax.random.PRNGKey(42)
         self.loops_closed = 0
+        # covisibility-consistency window (LoopClosing::DetectLoop,
+        # LoopClosing.cc:141-229): a candidate is accepted only after its
+        # covisibility group stays consistent across `consistency_th`
+        # consecutive keyframe detections — rejects one-off BoW hits on
+        # repetitive texture.
+        self._consistent_groups: List[Tuple[set, int]] = []
+        self.consistency_th = 3
 
     # ------------------------------------------------------------ vocab
 
@@ -187,12 +194,35 @@ class Relocalizer:
         covis = {k.kf_id for k in system.map.covisible_keyframes(kf, k=20,
                                                                  min_shared=10)}
         cands = self.db.query(words, exclude=recent | covis, top=3)
-        for cand_id, score in cands:
-            if score < min_score:
-                continue
+        cands = [(cid, s) for cid, s in cands if s >= min_score]
+        if not cands:
+            self._consistent_groups = []
+            return False
+
+        # covisibility-consistency window: each candidate's group (itself +
+        # its covisible keyframes) must intersect a group seen at the
+        # previous detection, accumulating a count; accept at >= th
+        # (LoopClosing.cc:141-229, mnCovisibilityConsistencyTh=3).
+        enough: List[int] = []
+        current_groups: List[Tuple[set, int]] = []
+        for cand_id, _score in cands:
+            cand_kf = system.map.keyframes[cand_id]
+            group = {cand_id} | {k.kf_id for k in system.map.covisible_keyframes(
+                cand_kf, k=10, min_shared=10)}
+            count = 0
+            for prev_group, prev_count in self._consistent_groups:
+                if group & prev_group:
+                    count = max(count, prev_count + 1)
+            current_groups.append((group, count))
+            if count >= self.consistency_th:
+                enough.append(cand_id)
+        self._consistent_groups = current_groups
+
+        for cand_id in enough:
             if self._close_with(system, kf, system.map.keyframes[cand_id],
                                 min_inliers):
                 self.loops_closed += 1
+                self._consistent_groups = []
                 return True
         return False
 
@@ -273,5 +303,9 @@ class Relocalizer:
                 system.map.pos[sel] = p @ C[:3, :3].T + C[:3, 3]
         for kidx, k in enumerate(kfs):
             k.Tcw = new_poses[kidx]
+        # post-loop global BA (ref spawns RunGlobalBundleAdjustment after
+        # CorrectLoop, LoopClosing.cc:579,645): refine the whole map around
+        # the pose-graph solution
+        system.map.run_global_ba(passes=1)
         system.Tcw = kfs[-1].Tcw.astype(np.float32)
         system.velocity = np.eye(4, dtype=np.float32)

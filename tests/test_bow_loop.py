@@ -101,6 +101,80 @@ def test_ransac_rigid_with_outliers():
     assert inl[out].mean() < 0.1
 
 
+def test_loop_consistency_window():
+    """LoopClosing.cc:141-229: a loop candidate is accepted only after its
+    covisibility group is consistent across >=3 consecutive detections; a
+    one-off BoW hit (repetitive texture) is rejected."""
+    import jax.numpy as jnp
+
+    from sindslam_tpu.config import SystemConfig
+    from sindslam_tpu.slam.frame import FrameData
+    from sindslam_tpu.slam.local_map import LocalMap
+    from sindslam_tpu.slam.loop_closing import Relocalizer
+
+    rng = np.random.default_rng(7)
+    base_a = _random_descs(rng, 80)     # "place A" appearance
+    base_b = _random_descs(rng, 80)     # distinct filler place
+    corpus = np.concatenate(
+        [np.concatenate([_perturb(b, rng) for _ in range(6)])
+         for b in (base_a, base_b)])
+    vocab = train_vocabulary(corpus, k=4, levels=3, seed=7)
+
+    cfg = SystemConfig()
+    m = LocalMap(cfg.camera, cfg.tracking)
+
+    def make_frame(base):
+        d = _perturb(base, rng)
+        n = len(d)
+        return FrameData(
+            xy=jnp.asarray(rng.uniform(0, 400, (n, 2)).astype(np.float32)),
+            level=jnp.zeros(n, jnp.int32), angle=jnp.zeros(n, jnp.float32),
+            desc=jnp.asarray(d), valid=jnp.ones(n, bool),
+            depth=jnp.full(n, 2.0, jnp.float32), ur=jnp.full(n, -1.0))
+
+    reloc = Relocalizer(cfg, vocab=vocab)
+
+    class FakeSystem:
+        pass
+
+    sys_ = FakeSystem()
+    sys_.map = m
+
+    # keyframes 0-2: place A, sharing map points (covisible group)
+    ids_a = np.arange(80, dtype=np.int64)
+    for _ in range(3):
+        kf = m.insert_keyframe(make_frame(base_a), np.eye(4, dtype=np.float32),
+                               ids_a, 0.0)
+        reloc.add_keyframe(kf)
+    # keyframes 3-19: filler place B (pushes A out of the recent window)
+    ids_b = np.arange(200, 280, dtype=np.int64)
+    for _ in range(17):
+        kf = m.insert_keyframe(make_frame(base_b), np.eye(4, dtype=np.float32),
+                               ids_b, 0.0)
+        reloc.add_keyframe(kf)
+
+    closed_with = []
+    reloc._close_with = lambda system, kf, cand, mi: (
+        closed_with.append(cand.kf_id), True)[-1]
+
+    # revisit place A: detections must accumulate 3 consistent hits before
+    # _close_with is reached (accept on the 4th consecutive detection)
+    ids_r = np.arange(400, 480, dtype=np.int64)
+    results = []
+    for _ in range(5):
+        kf = m.insert_keyframe(make_frame(base_a), np.eye(4, dtype=np.float32),
+                               ids_r, 0.0)
+        reloc.add_keyframe(kf)
+        results.append(reloc.try_close_loop(sys_))
+        if results[-1]:
+            break
+    assert results[:3] == [False, False, False], results
+    assert results[-1], results
+    assert all(c in (0, 1, 2) for c in closed_with)
+    # the window resets after a successful closure
+    assert reloc._consistent_groups == []
+
+
 def test_pose_graph_closes_drift():
     """Classic loop: odometry drifts, one loop edge fixes it."""
     rng = np.random.default_rng(4)
