@@ -258,6 +258,12 @@ class MappingConfig:
     keyframe_decimation: int = 5
     outlier_mean_k: int = 100
     outlier_std: float = 1.0
+    # Chebyshev search radius (in voxels) for the kNN outlier filter; 6 vox
+    # at 2 cm covers the ball PCL's meanK=100 search reaches on a surface.
+    outlier_search_radius_vox: int = 6
+    # octomap_server's secondary colored map resolution
+    # (octomap_mapping/octomap_server/src/OctomapServer.cpp:80)
+    secondary_resolution_m: float = 0.025
     max_points_per_frame: int = 76800  # (640/2)*(480/2)
     voxel_hash_capacity: int = 1 << 22
 

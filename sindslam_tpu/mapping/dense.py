@@ -15,8 +15,13 @@ pubPointCloud.cc``) TPU-first:
   voxelization: fixed-count samples along each ray (misses) + the endpoint
   voxel (hit), scattered into the native C++ voxel store (log-odds + color),
   which integrates on a background thread (the ROS-decoupling role);
-- ``StatisticalOutlierRemoval`` (``:291-296``) is covered by the store's
-  min-hit-count export filter.
+- ``StatisticalOutlierRemoval`` (``:291-296``, meanK=100 stddev=1.0) runs
+  natively in the store at export/save time (kNN over the occupied-voxel
+  hash, distance-sorted shell walk, multithreaded);
+- map saves cover both reference output roles: flat ``.pcd``
+  (``:184-185``) and octree ``.ot`` (ColorOcTree container), plus the
+  octomap_server secondary map at 0.025 m
+  (``octomap_mapping/octomap_server/src/OctomapServer.cpp:80``).
 """
 
 from __future__ import annotations
@@ -175,15 +180,39 @@ class DenseMapper:
             self._history.pop(0)
         return np.asarray(batch.updated_mask)
 
-    def export_cloud(self) -> Tuple[np.ndarray, np.ndarray]:
-        thr = float(np.log(self.cfg.occupancy_threshold /
-                           (1 - self.cfg.occupancy_threshold)))
-        return self.store.export(min_log_odds=thr, min_hits=2)
+    def _thr(self) -> float:
+        return float(np.log(self.cfg.occupancy_threshold /
+                            (1 - self.cfg.occupancy_threshold)))
 
-    def save_pcd(self, path: str) -> None:
-        thr = float(np.log(self.cfg.occupancy_threshold /
-                           (1 - self.cfg.occupancy_threshold)))
-        self.store.save_pcd(path, min_log_odds=thr, min_hits=2)
+    def export_cloud(self, filtered: bool = True
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+        k = self.cfg.outlier_mean_k if filtered else 0
+        return self.store.export(min_log_odds=self._thr(), min_hits=2,
+                                 sor_mean_k=k, sor_stddev=self.cfg.outlier_std,
+                                 sor_radius=self.cfg.outlier_search_radius_vox)
+
+    def export_secondary(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Coarse colored map, the octomap_server role (OctomapServer.cpp:80)."""
+        return self.store.export_coarse(
+            self.cfg.secondary_resolution_m, min_log_odds=self._thr(),
+            min_hits=2, sor_mean_k=self.cfg.outlier_mean_k,
+            sor_stddev=self.cfg.outlier_std,
+            sor_radius=self.cfg.outlier_search_radius_vox)
+
+    def save_pcd(self, path: str, filtered: bool = True) -> None:
+        k = self.cfg.outlier_mean_k if filtered else 0
+        self.store.save_pcd(path, min_log_odds=self._thr(), min_hits=2,
+                            sor_mean_k=k, sor_stddev=self.cfg.outlier_std,
+                            sor_radius=self.cfg.outlier_search_radius_vox)
+
+    def save_ot(self, path: str, secondary: bool = False) -> None:
+        """Octree-format save (reference pubPointCloud.cc:184-185); with
+        secondary=True, at the octomap_server resolution."""
+        res2 = self.cfg.secondary_resolution_m if secondary else 0.0
+        self.store.save_ot(path, resolution2=res2, min_log_odds=self._thr(),
+                           min_hits=2, sor_mean_k=self.cfg.outlier_mean_k,
+                           sor_stddev=self.cfg.outlier_std,
+                           sor_radius=self.cfg.outlier_search_radius_vox)
 
     def close(self) -> None:
         self.store.close()

@@ -128,16 +128,32 @@ def warp_by_flow(img: jnp.ndarray, flow_u: jnp.ndarray, flow_v: jnp.ndarray
 
 def median_filter(img: jnp.ndarray, ksize: int = 5) -> jnp.ndarray:
     """ksize x ksize median with replicate borders (cv::medianBlur parity on
-    interior pixels). Implemented as a stack of shifted copies + jnp.median —
-    a sort of k^2 lanes per pixel, fully vectorized on the VPU."""
+    interior pixels). The 3x3 case — the flow solver's per-outer-iteration
+    stabilizer, ~80 calls/frame — uses Paeth's 19-exchange median-of-9
+    min/max network (pure VPU element-wise ops, ~10x cheaper than the sort
+    jnp.median lowers to); larger kernels fall back to the sorted stack."""
     r = ksize // 2
     p = jnp.pad(img, ((r, r), (r, r)), mode="edge")
     h, w = img.shape
-    stack = jnp.stack(
-        [p[dy:dy + h, dx:dx + w] for dy in range(ksize) for dx in range(ksize)],
-        axis=-1,
-    )
-    return jnp.median(stack, axis=-1)
+    vals = [p[dy:dy + h, dx:dx + w]
+            for dy in range(ksize) for dx in range(ksize)]
+    if ksize == 3:
+        v = vals
+
+        def ex(i, j):
+            lo = jnp.minimum(v[i], v[j])
+            hi = jnp.maximum(v[i], v[j])
+            v[i], v[j] = lo, hi
+
+        ex(1, 2); ex(4, 5); ex(7, 8)
+        ex(0, 1); ex(3, 4); ex(6, 7)
+        ex(1, 2); ex(4, 5); ex(7, 8)
+        ex(0, 3); ex(5, 8); ex(4, 7)
+        ex(3, 6); ex(1, 4); ex(2, 5)
+        ex(4, 7); ex(4, 2); ex(6, 4)
+        ex(4, 2)
+        return v[4]
+    return jnp.median(jnp.stack(vals, axis=-1), axis=-1)
 
 
 def _window_reduce(img: jnp.ndarray, ksize: int, init, op) -> jnp.ndarray:

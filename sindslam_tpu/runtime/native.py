@@ -49,9 +49,29 @@ def load_library() -> ctypes.CDLL:
             ctypes.c_void_p, ctypes.c_float, ctypes.c_uint32,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
             ctypes.c_int64]
+        lib.vstore_export_sor.restype = ctypes.c_int64
+        lib.vstore_export_sor.argtypes = [
+            ctypes.c_void_p, ctypes.c_float, ctypes.c_uint32,
+            ctypes.c_int32, ctypes.c_float, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64]
+        lib.vstore_export_coarse.restype = ctypes.c_int64
+        lib.vstore_export_coarse.argtypes = [
+            ctypes.c_void_p, ctypes.c_double, ctypes.c_float, ctypes.c_uint32,
+            ctypes.c_int32, ctypes.c_float, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64]
         lib.vstore_save_pcd.restype = ctypes.c_int
         lib.vstore_save_pcd.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
                                         ctypes.c_float, ctypes.c_uint32]
+        lib.vstore_save_pcd_sor.restype = ctypes.c_int
+        lib.vstore_save_pcd_sor.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_float, ctypes.c_uint32,
+            ctypes.c_int32, ctypes.c_float, ctypes.c_int32]
+        lib.vstore_save_ot.restype = ctypes.c_int
+        lib.vstore_save_ot.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_double, ctypes.c_float,
+            ctypes.c_uint32, ctypes.c_int32, ctypes.c_float, ctypes.c_int32]
         _lib = lib
         return lib
 
@@ -87,23 +107,62 @@ class VoxelStore:
         return int(self._lib.vstore_size(self._h))
 
     def export(self, min_log_odds: float = 0.85, min_hits: int = 2,
-               max_out: int = 4_000_000) -> Tuple[np.ndarray, np.ndarray]:
-        """Occupied voxels -> ((N, 3) float32 centers [m], (N, 3) uint8 rgb)."""
+               max_out: int = 4_000_000, sor_mean_k: int = 0,
+               sor_stddev: float = 1.0, sor_radius: int = 6
+               ) -> Tuple[np.ndarray, np.ndarray]:
+        """Occupied voxels -> ((N, 3) float32 centers [m], (N, 3) uint8 rgb).
+
+        sor_mean_k > 0 applies kNN statistical outlier removal in the native
+        store (reference pubPointCloud.cc:291-296, meanK=100 stddev=1.0)."""
         self.flush()
         xyz = np.zeros((max_out, 3), np.int32)
         rgb = np.zeros((max_out, 3), np.uint8)
-        n = self._lib.vstore_export(
-            self._h, min_log_odds, min_hits,
+        n = self._lib.vstore_export_sor(
+            self._h, min_log_odds, min_hits, sor_mean_k, sor_stddev,
+            sor_radius,
             xyz.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), max_out)
         centers = (xyz[:n].astype(np.float32) + 0.5) * self.resolution
         return centers, rgb[:n].copy()
 
-    def save_pcd(self, path: str, min_log_odds: float = 0.85,
-                 min_hits: int = 2) -> None:
+    def export_coarse(self, resolution2: float, min_log_odds: float = 0.85,
+                      min_hits: int = 2, max_out: int = 4_000_000,
+                      sor_mean_k: int = 0, sor_stddev: float = 1.0,
+                      sor_radius: int = 6) -> Tuple[np.ndarray, np.ndarray]:
+        """Re-voxelized export at a coarser `resolution2` (octomap_server's
+        secondary-map role, OctomapServer.cpp:80)."""
         self.flush()
-        rc = self._lib.vstore_save_pcd(self._h, path.encode(), min_log_odds,
-                                       min_hits)
+        xyz = np.zeros((max_out, 3), np.int32)
+        rgb = np.zeros((max_out, 3), np.uint8)
+        n = self._lib.vstore_export_coarse(
+            self._h, resolution2, min_log_odds, min_hits, sor_mean_k,
+            sor_stddev, sor_radius,
+            xyz.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), max_out)
+        centers = (xyz[:n].astype(np.float32) + 0.5) * resolution2
+        return centers, rgb[:n].copy()
+
+    def save_pcd(self, path: str, min_log_odds: float = 0.85,
+                 min_hits: int = 2, sor_mean_k: int = 0,
+                 sor_stddev: float = 1.0, sor_radius: int = 6) -> None:
+        self.flush()
+        rc = self._lib.vstore_save_pcd_sor(
+            self._h, path.encode(), min_log_odds, min_hits, sor_mean_k,
+            sor_stddev, sor_radius)
+        if rc != 0:
+            raise IOError(f"failed to write {path}")
+
+    def save_ot(self, path: str, resolution2: float = 0.0,
+                min_log_odds: float = 0.85, min_hits: int = 2,
+                sor_mean_k: int = 0, sor_stddev: float = 1.0,
+                sor_radius: int = 6) -> None:
+        """Octree-format save (ColorOcTree .ot container; the reference's
+        tree->write at pubPointCloud.cc:184-185). resolution2 > 0 rebuilds
+        the octree at that resolution first."""
+        self.flush()
+        rc = self._lib.vstore_save_ot(
+            self._h, path.encode(), resolution2, min_log_odds, min_hits,
+            sor_mean_k, sor_stddev, sor_radius)
         if rc != 0:
             raise IOError(f"failed to write {path}")
 

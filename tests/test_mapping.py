@@ -65,6 +65,99 @@ def test_voxel_store_async_and_pcd(tmp_path):
     vs.close()
 
 
+def test_sor_filter_drops_floaters():
+    """kNN statistical outlier removal (reference pubPointCloud.cc:291-296):
+    a dense plane survives, isolated floaters are removed."""
+    vs = VoxelStore(resolution=0.02)
+    xs, ys = np.meshgrid(np.arange(40), np.arange(40))
+    plane = np.stack([xs.ravel(), ys.ravel(), np.zeros(1600, int)],
+                     axis=1).astype(np.int32)
+    floaters = np.array([[200, 200, 200], [-150, 80, 300], [90, -220, 50],
+                         [400, 0, 0], [0, 400, 120]], np.int32)
+    vox = np.concatenate([plane, floaters])
+    rgb = np.full((len(vox), 3), 128, np.uint8)
+    vs.insert(vox, rgb, np.ones(len(vox), np.uint8))
+    vs.flush()
+    raw, _ = vs.export(min_log_odds=0.5, min_hits=1)
+    assert len(raw) == 1605
+    kept, _ = vs.export(min_log_odds=0.5, min_hits=1, sor_mean_k=30,
+                        sor_stddev=1.0, sor_radius=6)
+    kept_keys = {tuple(np.round(p / 0.02 - 0.5).astype(int)) for p in kept}
+    for fl in floaters:
+        assert tuple(fl) not in kept_keys
+    # the plane interior survives (edges may be trimmed by the threshold)
+    interior = {(x, y, 0) for x in range(5, 35) for y in range(5, 35)}
+    assert len(interior - kept_keys) == 0
+    assert len(kept) > 0.8 * 1600
+    vs.close()
+
+
+def test_export_coarse_revoxelizes():
+    """Secondary-resolution export (octomap_server role, OctomapServer.cpp:80):
+    2x coarser resolution merges 2x2x2 voxel blocks."""
+    vs = VoxelStore(resolution=0.02)
+    xs, ys, zs = np.meshgrid(np.arange(8), np.arange(8), np.arange(8))
+    vox = np.stack([xs.ravel(), ys.ravel(), zs.ravel()], 1).astype(np.int32)
+    rgb = np.full((len(vox), 3), 77, np.uint8)
+    vs.insert(vox, rgb, np.ones(len(vox), np.uint8))
+    centers, colors = vs.export_coarse(0.04, min_log_odds=0.5, min_hits=1)
+    assert len(centers) == 4 * 4 * 4
+    assert np.all(colors == 77)
+    # centers lie on the 0.04 m grid
+    np.testing.assert_allclose((centers / 0.04 - 0.5) % 1.0, 0.0, atol=1e-5)
+    vs.close()
+
+
+def _parse_ot(path):
+    """Minimal reader for the ColorOcTree .ot container written by save_ot."""
+    with open(path, "rb") as f:
+        data = f.read()
+    header, _, body = data.partition(b"data\n")
+    lines = [ln for ln in header.decode().splitlines()
+             if ln and not ln.startswith("#")]
+    meta = dict(ln.split(None, 1) for ln in lines)
+    nodes = []
+    off = 0
+    # DFS stream: float value, 3 color bytes, child mask byte
+    stack = [0]
+    while stack:
+        stack.pop()
+        value = np.frombuffer(body, np.float32, 1, off)[0]
+        r, g, b, mask = body[off + 4:off + 8]
+        nodes.append((value, (r, g, b), mask))
+        off += 8
+        for _ in range(bin(mask).count("1")):
+            stack.append(0)
+    assert off == len(body)
+    return meta, nodes
+
+
+def test_save_ot_octree_roundtrip(tmp_path):
+    vs = VoxelStore(resolution=0.02)
+    rng = np.random.default_rng(3)
+    vox = rng.integers(-40, 40, (500, 3)).astype(np.int32)
+    rgb = rng.integers(0, 255, (500, 3)).astype(np.uint8)
+    vs.insert(vox, rgb, np.ones(500, np.uint8))
+    centers, _ = vs.export(min_log_odds=0.5, min_hits=1)
+    path = str(tmp_path / "map.ot")
+    vs.save_ot(path, min_hits=1)
+    meta, nodes = _parse_ot(path)
+    assert meta["id"] == "ColorOcTree"
+    assert abs(float(meta["res"]) - 0.02) < 1e-9
+    assert int(meta["size"]) == len(nodes)
+    leaves = [n for n in nodes if n[2] == 0]
+    assert len(leaves) == len(centers)
+    # inner-node occupancy is the max over children -> root carries the max
+    assert nodes[0][0] == max(n[0] for n in nodes)
+    # secondary-resolution octree has fewer leaves
+    path2 = str(tmp_path / "map2.ot")
+    vs.save_ot(path2, resolution2=0.05, min_hits=1)
+    meta2, nodes2 = _parse_ot(path2)
+    assert abs(float(meta2["res"]) - 0.05) < 1e-9
+    assert len([n for n in nodes2 if n[2] == 0]) < len(centers)
+    vs.close()
+
+
 # ------------------------------------------------------------- device side
 
 
