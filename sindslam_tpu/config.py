@@ -170,6 +170,16 @@ class DynaConfig:
     high_thresh_floor: float = 3.0
     high_thresh_max: float = 10.0
     low_refire_frac: float = 0.5  # re-raise low if >50% of pixels fire
+    # --- parallax-consistency exclusion (BEYOND the reference: static
+    # close-range structure whose homography residual matches the
+    # camera-translation * inverse-depth law is never masked — protects the
+    # 3-10 px gray zone between the threshold ladder and the large-motion
+    # fallback; see frontend/flow_mask.py::_parallax_consistency)
+    parallax_filter: bool = True
+    parallax_max_px: float = 8.0     # only residuals below this can be parallax
+    parallax_tol_px: float = 0.8     # absolute consistency tolerance
+    parallax_tol_rel: float = 0.35   # relative tolerance vs predicted parallax
+    parallax_fit_med_px: float = 1.5  # median fit error above this -> model off
     w_invalid: float = 1.0
     w_static: float = 1.2
     w_dynamic: float = 0.4

@@ -73,8 +73,10 @@ class SyntheticScene:
         """Render from camera-to-world pose ``T_wc``.
 
         Returns (rgb uint8 (H, W, 3), depth float32 metres (H, W),
-        dynamic ground-truth mask bool (H, W)). ``dyn_offset`` translates all
-        rects flagged dynamic (world frame) for this frame.
+        dynamic ground-truth mask bool (H, W)). ``dyn_offset`` translates
+        rects flagged dynamic (world frame) for this frame: a (3,) vector
+        applies to all dynamic rects; a (len(rects), 3) array gives each
+        rect its own offset (multi-mover benchmark sequences).
         """
         H, W = self.height, self.width
         R, t = T_wc[:3, :3], T_wc[:3, 3]
@@ -90,10 +92,11 @@ class SyntheticScene:
         rgb = np.zeros((H, W, 3))
         dyn = np.zeros((H, W), dtype=bool)
 
-        for rect in self.rects:
+        for ri, rect in enumerate(self.rects):
             ro = rect.origin.copy()
             if rect.dynamic and dyn_offset is not None:
-                ro = ro + dyn_offset
+                off = np.asarray(dyn_offset, float)
+                ro = ro + (off[ri] if off.ndim == 2 else off)
             n = np.cross(rect.eu, rect.ev)
             denom = dirs @ n                                     # (H, W)
             with np.errstate(divide="ignore", invalid="ignore"):
@@ -191,3 +194,104 @@ def generate_sequence(n_frames: int = 12, seed: int = 0, with_dynamic: bool = Tr
     for i in range(n_frames):
         rgb, depth, dyn = scene.render(poses[i], offs[i] if with_dynamic else None)
         yield rgb, depth, dyn, poses[i], i / 30.0
+
+
+# --------------------------------------------------------------------------
+# Named benchmark sequences — the accuracy regression suite (the stand-in for
+# the reference's TUM fr3_walking_* evaluation protocol,
+# ``ORB_SLAM2/EVO/evaluate_ate.py`` / reference ``README.md:78-94``). Each is
+# deterministic; masked-vs-unmasked ATE thresholds are enforced by
+# ``tests/test_accuracy.py`` and reported by ``bench.py``.
+# --------------------------------------------------------------------------
+
+BENCHMARK_SEQUENCES = ("dyn_walk", "fast_cam", "multi_mover",
+                       "occlusion_cross", "static")
+
+
+def _scale_scene(sc: SyntheticScene, scale: float) -> SyntheticScene:
+    sc.width = int(round(sc.width * scale))
+    sc.height = int(round(sc.height * scale))
+    sc.fx *= scale
+    sc.fy *= scale
+    sc.cx = sc.cx * scale
+    sc.cy = sc.cy * scale
+    return sc
+
+
+def make_benchmark_sequence(name: str, n_frames: int = 10, seed: int = 0,
+                            scale: float = 1.0):
+    """Build one named benchmark sequence.
+
+    Returns (frames, scene) where frames is a list of
+    (rgb, depth, gt_dyn_mask, T_wc, timestamp). ``scale`` shrinks the camera
+    (0.5 -> 320x240) so CPU regression tests stay fast; world geometry and
+    motion are unchanged.
+    """
+    rng = np.random.default_rng(seed)
+
+    # Camera amplitude keeps PER-FRAME motion TUM-like (~1-2 cm + small
+    # rotation between consecutive frames at these short lengths): the
+    # homography-residual detector, like the reference's, assumes video-rate
+    # input — n-2 frame baselines of several cm create real parallax beyond
+    # the threshold ladder and are exercised ONLY by fast_cam.
+    amp = 0.008 * n_frames
+    if name == "static":
+        scene = make_default_scene(seed, with_dynamic=False)
+        poses = make_trajectory(n_frames, amp, seed)
+        offs = None
+    elif name == "dyn_walk":
+        scene = make_default_scene(seed, with_dynamic=True)
+        poses = make_trajectory(n_frames, amp, seed)
+        offs = dynamic_offsets(n_frames, speed=0.035)
+    elif name == "fast_cam":
+        # large inter-frame camera motion: exercises the n-1 flow fallback
+        scene = make_default_scene(seed, with_dynamic=True)
+        poses = make_trajectory(n_frames, 0.85, seed)
+        offs = dynamic_offsets(n_frames, speed=0.05)
+    elif name == "multi_mover":
+        scene = make_default_scene(seed, with_dynamic=True)
+
+        def rect(o, eu, ev, color):
+            scene.rects.append(TexturedRect(
+                np.array(o, float), np.array(eu, float), np.array(ev, float),
+                _noise_texture(rng, base_color=np.array(color)), dynamic=True))
+
+        rect([1.6, -1.3, 2.8], [0.6, 0, 0], [0, 1.3, 0], [0.3, 0.5, 0.95])
+        rect([-2.3, 0.1, 2.2], [0.45, 0, 0], [0, 0.45, 0], [0.4, 0.9, 0.4])
+        poses = make_trajectory(n_frames, amp, seed)
+        nr = len(scene.rects)
+        offs = np.zeros((n_frames, nr, 3))
+        base = dynamic_offsets(n_frames, speed=0.035)
+        for i in range(n_frames):
+            offs[i, nr - 3] = base[i]                       # board: lateral
+            offs[i, nr - 2] = [-0.045 * i, 0.02 * np.sin(0.5 * i), 0]
+            offs[i, nr - 1] = [0.015 * i, -0.05 * i, 0.01 * i]
+    elif name == "occlusion_cross":
+        # a mover sweeps ACROSS the line of sight of static box B (face at
+        # z=2.3): tests occlusion handling in masking and mapping vetoes
+        scene = make_default_scene(seed, with_dynamic=False)
+        scene.rects.append(TexturedRect(
+            np.array([-1.8, -0.5, 1.9]), np.array([0.8, 0.0, 0.0]),
+            np.array([0.0, 0.9, 0.0]),
+            _noise_texture(rng, base_color=np.array([0.95, 0.75, 0.2])),
+            dynamic=True))
+        poses = make_trajectory(n_frames, amp, seed)
+        offs = np.zeros((n_frames, len(scene.rects), 3))
+        for i in range(n_frames):
+            s = i / max(n_frames - 1, 1)
+            offs[i, -1] = [3.2 * s, 0.1 * np.sin(2.0 * s), 0.0]
+    else:
+        raise ValueError(f"unknown benchmark sequence {name!r}; "
+                         f"choose from {BENCHMARK_SEQUENCES}")
+
+    if scale != 1.0:
+        scene = _scale_scene(scene, scale)
+    frames = []
+    for i in range(n_frames):
+        off_i = None
+        if offs is not None:
+            off_i = offs[i]
+        rgb, depth, dyn = scene.render(poses[i], off_i)
+        frames.append((rgb, depth, dyn, poses[i], i / 30.0))
+    return frames, scene
+

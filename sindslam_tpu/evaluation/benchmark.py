@@ -1,0 +1,185 @@
+"""Accuracy regression benchmark: masked-vs-unmasked ATE on named sequences.
+
+The stand-in for the reference's TUM evaluation protocol
+(``ORB_SLAM2/EVO/evaluate_ate.py``, reference ``README.md:78-94``): since no
+TUM data exists in this environment, the suite runs full dynamic SLAM on the
+deterministic synthetic benchmark sequences
+(:data:`sindslam_tpu.datasets.synthetic.BENCHMARK_SEQUENCES` — fast camera,
+multiple movers, occlusion crossings, large-motion frames) and reports the
+ATE with the DynaDetect mask enabled vs disabled. Thresholds are enforced by
+``tests/test_accuracy.py``; ``bench.py`` emits the pair every round so
+accuracy is tracked alongside fps.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from sindslam_tpu.config import SystemConfig
+
+
+def scaled_system_config(scale: float = 1.0, n_features: int = 1000
+                         ) -> SystemConfig:
+    """A SystemConfig whose pixel-denominated parameters are scaled so the
+    640x480 pipeline behaves equivalently on a ``scale``-times smaller camera
+    (areas ~ scale^2, lengths ~ scale). scale=1 returns the defaults."""
+    base = SystemConfig()
+    if scale == 1.0 and n_features == 1000:
+        return base
+    s, s2 = scale, scale * scale
+    cam = dataclasses.replace(
+        base.camera,
+        fx=base.camera.fx * s, fy=base.camera.fy * s,
+        cx=base.camera.cx * s, cy=base.camera.cy * s,
+        width=int(round(base.camera.width * s)),
+        height=int(round(base.camera.height * s)),
+        bf=base.camera.bf * s)
+    flow = dataclasses.replace(
+        base.flow,
+        working_width=max(64, int(round(base.flow.working_width * s)) // 8 * 8),
+        working_height=max(48, int(round(base.flow.working_height * s)) // 8 * 8))
+    dyna = dataclasses.replace(
+        base.dyna,
+        median_ksize=max(3, int(round(base.dyna.median_ksize * s)) | 1),
+        endpoint_nms_radius=max(2, int(round(base.dyna.endpoint_nms_radius * s))),
+        plane_min_support=max(100, int(base.dyna.plane_min_support * s2)),
+        rag_adjacency_min_overlap=base.dyna.rag_adjacency_min_overlap * s2,
+        min_cluster_area=max(10, int(base.dyna.min_cluster_area * s2)),
+        sample_grid_step=max(3, int(round(base.dyna.sample_grid_step * s))),
+        large_motion_flow_px=base.dyna.large_motion_flow_px * s,
+        ransac_thresh_px=max(1.0, base.dyna.ransac_thresh_px * s),
+        flood_min_area=base.dyna.flood_min_area * s2,
+        flood_big_area=base.dyna.flood_big_area * s2,
+        fuse_dilate_iters=max(2, int(round(base.dyna.fuse_dilate_iters * s))),
+        final_dilate_iters=max(3, int(round(base.dyna.final_dilate_iters * s))),
+        mask_dilate_ksize=max(5, int(round(base.dyna.mask_dilate_ksize * s)) | 1))
+    # NOTE: flow-residual thresholds (low/high_thresh_*) deliberately NOT
+    # scaled: flow noise is limited by sub-pixel interpolation accuracy,
+    # which is ~constant in pixels at any resolution — scaling them down
+    # makes the detector fire on noise (measured: static-scene ATE 0.012 ->
+    # 0.12 with thresholds scaled by 0.5).
+    # reprojection errors are in pixels: chi2 gates scale with s^2, search
+    # radii with s — otherwise the half-res tracker accepts 2x-looser
+    # outliers and tracking quality collapses
+    tracking = dataclasses.replace(
+        base.tracking,
+        chi2_mono=base.tracking.chi2_mono * s2,
+        chi2_stereo=base.tracking.chi2_stereo * s2,
+        search_radius_coarse=base.tracking.search_radius_coarse * s,
+        search_radius_fine=base.tracking.search_radius_fine * s)
+    # the <250-survivors revert rule is calibrated for 1000+ features; keep
+    # it proportional so masking isn't silently reverted at small budgets
+    orb = dataclasses.replace(
+        base.orb, n_features=n_features,
+        min_keypoints_after_mask=max(
+            50, int(base.orb.min_keypoints_after_mask * n_features
+                    / base.orb.n_features)))
+    return dataclasses.replace(base, camera=cam, flow=flow, dyna=dyna,
+                               orb=orb, tracking=tracking)
+
+
+def run_sequence_slam(frames: List[tuple], cfg: SystemConfig,
+                      use_dyna: bool, use_gt_mask: bool = False
+                      ) -> Tuple[np.ndarray, np.ndarray, Dict]:
+    """Run full SLAM over rendered frames.
+
+    frames: list of (rgb, depth, gt_dyn, T_wc, ts). Returns
+    (timestamps, est_Twc (F, 4, 4), info) where info carries per-frame masks
+    and keyframe count. use_gt_mask short-circuits DynaDetect with the
+    ground-truth dynamic mask (upper-bound reference point).
+    """
+    import jax.numpy as jnp
+
+    from sindslam_tpu.frontend import orb as orb_mod
+    from sindslam_tpu.frontend.pipeline import frontend_step, init_state
+    from sindslam_tpu.ops import image as im
+    from sindslam_tpu.slam.frame import build_frame
+    from sindslam_tpu.slam.system import SlamSystem
+
+    cam = cfg.camera
+    slam = SlamSystem(cfg)
+    state = None
+    masks = []
+    ts_out = []
+    for rgb, depth, gt_dyn, _pose, ts in frames:
+        rgb_j = jnp.asarray(rgb)
+        d = jnp.asarray(depth)
+        g = im.rgb_to_gray(rgb_j)
+        if use_gt_mask:
+            mask = jnp.where(jnp.asarray(gt_dyn), cfg.dyna.mask_dynamic,
+                             jnp.where(d > 0, cfg.dyna.mask_static,
+                                       cfg.dyna.mask_invalid)).astype(jnp.int32)
+            feats = orb_mod.extract_orb(g, mask, cfg.orb,
+                                        height=cam.height, width=cam.width)
+        elif use_dyna:
+            if state is None:
+                state = init_state(cfg, g)
+            out, state = frontend_step(rgb_j, d, state, cfg)
+            mask, feats = out.dyna_mask, out.features
+        else:
+            mask = jnp.zeros((cam.height, cam.width), jnp.int32)
+            feats = orb_mod.extract_orb(g, mask, cfg.orb,
+                                        height=cam.height, width=cam.width)
+        frame = build_frame(feats, d, cam, ts)
+        slam.track_frame(frame, ts)
+        masks.append(np.asarray(mask))
+        ts_out.append(ts)
+    slam.shutdown()
+    ts_arr, est = slam.trajectory()
+    info = {"masks": masks, "n_keyframes": len(slam.map.keyframes),
+            "n_points": int(slam.map.valid.sum())}
+    return ts_arr, est, info
+
+
+def ate_rmse(frames: List[tuple], ts_est: np.ndarray, est_twc: np.ndarray
+             ) -> float:
+    from sindslam_tpu.evaluation import evaluate_ate
+
+    gt_ts = np.array([f[4] for f in frames])
+    gt_xyz = np.stack([f[3][:3, 3] for f in frames])
+    est_xyz = np.stack([p[:3, 3] for p in est_twc])
+    return float(evaluate_ate(gt_ts, gt_xyz, ts_est, est_xyz).rmse)
+
+
+def mask_iou(frames: List[tuple], masks: List[np.ndarray],
+             dynamic_value: int = 255) -> float:
+    """Mean IoU of predicted dynamic regions vs ground truth over frames
+    with any ground-truth dynamics (skips warm-up frames 0-1)."""
+    ious = []
+    for (rgb, depth, gt_dyn, _p, _t), m in list(zip(frames, masks))[2:]:
+        gt = np.asarray(gt_dyn)
+        if gt.sum() == 0:
+            continue
+        pred = np.asarray(m) == dynamic_value
+        inter = (gt & pred).sum()
+        union = (gt | pred).sum()
+        ious.append(inter / max(union, 1))
+    return float(np.mean(ious)) if ious else float("nan")
+
+
+def accuracy_pair(name: str, n_frames: int = 10, scale: float = 1.0,
+                  seed: int = 0, n_features: int = 1000,
+                  with_gt_mask: bool = False) -> Dict[str, float]:
+    """Masked vs unmasked ATE on one named benchmark sequence."""
+    from sindslam_tpu.datasets.synthetic import make_benchmark_sequence
+
+    frames, _scene = make_benchmark_sequence(name, n_frames=n_frames,
+                                             seed=seed, scale=scale)
+    cfg = scaled_system_config(scale, n_features=n_features)
+    ts_m, est_m, info_m = run_sequence_slam(frames, cfg, use_dyna=True)
+    ts_u, est_u, _info_u = run_sequence_slam(frames, cfg, use_dyna=False)
+    out = {
+        "sequence": name,
+        "ate_masked_m": ate_rmse(frames, ts_m, est_m),
+        "ate_unmasked_m": ate_rmse(frames, ts_u, est_u),
+        "mask_iou": mask_iou(frames, info_m["masks"]),
+        "n_keyframes": info_m["n_keyframes"],
+    }
+    if with_gt_mask:
+        ts_g, est_g, _ = run_sequence_slam(frames, cfg, use_dyna=False,
+                                           use_gt_mask=True)
+        out["ate_gt_mask_m"] = ate_rmse(frames, ts_g, est_g)
+    return out

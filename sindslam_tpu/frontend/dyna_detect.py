@@ -57,8 +57,9 @@ def _geometry_fn(depth, prev_labels, cam: CameraConfig, cfg: DynaConfig):
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _mask_fn(flow_u, flow_v, weight_map, valid, prev_high, label_img,
-             cfg: DynaConfig, key):
-    fm = flow_residual_mask(flow_u, flow_v, weight_map, valid, cfg, key)
+             cfg: DynaConfig, key, depth_m=None):
+    fm = flow_residual_mask(flow_u, flow_v, weight_map, valid, cfg, key,
+                            depth_m=depth_m)
     fu = fuse_masks(fm.low_mask, fm.high_mask, prev_high, label_img, valid, cfg)
     return fm, fu
 
@@ -117,14 +118,14 @@ class DynaDetector:
 
         self._key, k2 = jax.random.split(self._key)
         fm, fu = _mask_fn(u, v, wmap, valid, self._prev_high, rr.label_img,
-                          cfg.dyna, k2)
+                          cfg.dyna, k2, depth_m=depth_m)
 
         if bool(fm.large_motion) and self._gray_m2 is not None:
             # reference fallback: recompute against the nearer frame n-1
             u, v = _flow_fn(gray, self._gray_m1, cfg.flow)
             self._key, k3 = jax.random.split(self._key)
             fm, fu = _mask_fn(u, v, wmap, valid, self._prev_high, rr.label_img,
-                              cfg.dyna, k3)
+                              cfg.dyna, k3, depth_m=depth_m)
 
         mask = fu.dyna_mask
 

@@ -68,11 +68,14 @@ def edge_endpoints(edge: jnp.ndarray, cfg: DynaConfig) -> jnp.ndarray:
     # also require some local edge support so isolated noise pixels don't count
     local = im.box_filter(e, 3) * 9.0
     cand = edge & (ring_count <= 4) & (local >= 2.0)
-    # NMS: keep the candidate with the highest priority in each radius-6 disc
-    pri = jnp.where(cand,
-                    jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w +
-                    jax.lax.broadcasted_iota(jnp.int32, (h, w), 1) + 1,
-                    0)
+    # NMS: keep the strongest candidate in each radius-6 disc. Priority =
+    # endpoint-ness (fewer edge neighbors on the ring = more terminal, the
+    # quantity the reference's along-curve suppression favors,
+    # DynaDetect.cc:110-143), tie-broken by scan order (earlier pixel wins).
+    idx = (jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w
+           + jax.lax.broadcasted_iota(jnp.int32, (h, w), 1))
+    strength = (5 - ring_count.astype(jnp.int32)) << 20
+    pri = jnp.where(cand, strength + (h * w - idx), 0)
     k = 2 * cfg.endpoint_nms_radius + 1
     local_max = im.dilate(pri, k)
     return cand & (pri == local_max)
@@ -104,13 +107,63 @@ def _block_plane_fit(depth_m: jnp.ndarray, cam: CameraConfig, cfg: DynaConfig):
     cov = jnp.einsum("ijka,ijkb->ijab", d, d,
                      precision=jax.lax.Precision.HIGHEST) / jnp.maximum(
         n[..., None, None], 1.0)
-    eigvals, eigvecs = jnp.linalg.eigh(cov)      # ascending
-    normal = eigvecs[..., :, 0]
+    mse, normal = _sym3x3_min_eig(cov)
     # orient normals toward the camera (z component negative)
     normal = normal * jnp.where(normal[..., 2:3] > 0, -1.0, 1.0)
-    mse = eigvals[..., 0]
     offset = jnp.sum(normal * mean, axis=-1)
     return normal, offset, mse, n / (B * B), mean
+
+
+def _sym3x3_min_eig(A: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Smallest eigenvalue + eigenvector of batched symmetric 3x3 matrices.
+
+    Closed form (the same primitive as PEAC's ``eig33sym.hpp``): eigenvalues
+    by the trigonometric method (Smith 1961), eigenvector as the largest
+    cross product of two rows of (A - lambda_min I). Pure element-wise ops —
+    batched ``jnp.linalg.eigh`` lowers to an iterative solver that is far
+    slower on TPU for tiny matrices.
+    """
+    a00 = A[..., 0, 0]
+    a11 = A[..., 1, 1]
+    a22 = A[..., 2, 2]
+    a01 = A[..., 0, 1]
+    a02 = A[..., 0, 2]
+    a12 = A[..., 1, 2]
+    q = (a00 + a11 + a22) / 3.0
+    b00, b11, b22 = a00 - q, a11 - q, a22 - q
+    p2 = (b00 * b00 + b11 * b11 + b22 * b22
+          + 2.0 * (a01 * a01 + a02 * a02 + a12 * a12))
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, 1e-30))
+    # det(B) / (2 p^3), clamped into arccos domain
+    detB = (b00 * (b11 * b22 - a12 * a12)
+            - a01 * (a01 * b22 - a12 * a02)
+            + a02 * (a01 * a12 - b11 * a02))
+    r = jnp.clip(detB / (2.0 * p * p * p), -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    # eig1 >= eig2 >= eig3
+    eig1 = q + 2.0 * p * jnp.cos(phi)
+    eig3 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    lam = jnp.where(p2 > 1e-24, eig3, q)        # isotropic fallback
+
+    # rows of (A - lam I); eigenvector = the largest pairwise cross product
+    r0 = jnp.stack([a00 - lam, a01, a02], axis=-1)
+    r1 = jnp.stack([a01, a11 - lam, a12], axis=-1)
+    r2 = jnp.stack([a02, a12, a22 - lam], axis=-1)
+    c01 = jnp.cross(r0, r1)
+    c02 = jnp.cross(r0, r2)
+    c12 = jnp.cross(r1, r2)
+    n01 = jnp.sum(c01 * c01, axis=-1)
+    n02 = jnp.sum(c02 * c02, axis=-1)
+    n12 = jnp.sum(c12 * c12, axis=-1)
+    best = jnp.where(((n01 >= n02) & (n01 >= n12))[..., None], c01,
+                     jnp.where((n02 >= n12)[..., None], c02, c12))
+    nrm = jnp.sqrt(jnp.maximum(jnp.sum(best * best, axis=-1, keepdims=True),
+                               1e-30))
+    v = best / nrm
+    # degenerate (isotropic) blocks: any unit vector is valid; use +z
+    iso = (jnp.maximum(n01, jnp.maximum(n02, n12)) < 1e-24)[..., None]
+    v = jnp.where(iso, jnp.array([0.0, 0.0, 1.0]), v)
+    return jnp.maximum(lam, 0.0), v
 
 
 def plane_segmentation(depth_m: jnp.ndarray, cam: CameraConfig, cfg: DynaConfig
@@ -185,11 +238,21 @@ def plane_segmentation(depth_m: jnp.ndarray, cam: CameraConfig, cfg: DynaConfig
     dist = jnp.abs(jnp.sum(n_img * pts, axis=-1) - o_img)
     plane_px = jnp.where((lbl_img > 0) & (dist < tol_img) & pvalid, lbl_img, 0)
 
-    # --- drop small planes (min support, PEAC FitterAllParams minSupport=2000)
-    areas = jax.ops.segment_sum(jnp.ones((h * w,), jnp.float32),
-                                plane_px.reshape(-1), num_segments=bh * bw + 1)
+    # --- drop small planes (min support, PEAC FitterAllParams minSupport=2000).
+    # Pixel labels are block labels broadcast per pixel, so per-label support
+    # = segment_sum of per-BLOCK pass counts over the tiny block grid — a
+    # 1.2k-element scatter instead of a 307k-element one (scatters serialize
+    # on TPU).
+    passed = (plane_px > 0).astype(jnp.float32)
+    blk_cnt = passed[:bh * B, :bw * B].reshape(bh, B, bw, B).sum(axis=(1, 3))
+    areas = jax.ops.segment_sum(blk_cnt.reshape(-1),
+                                block_labels.reshape(-1),
+                                num_segments=bh * bw + 1)
     keep = areas >= cfg.plane_min_support
-    plane_px = jnp.where(keep[plane_px], plane_px, 0)
+    # broadcast keep back through the block grid (static row/col indexing)
+    # rather than a 307k-pixel dynamic gather
+    keep_img = keep[block_labels][by][:, bx]
+    plane_px = jnp.where(keep_img & (plane_px > 0), plane_px, 0)
 
     labels = jnp.where(plane_px > 0, plane_px, -1).astype(jnp.int32)
 

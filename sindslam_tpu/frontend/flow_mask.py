@@ -102,17 +102,107 @@ def _threshold_ladder(mag: jnp.ndarray, valid: jnp.ndarray, cfg: DynaConfig
     return low, high
 
 
+def _parallax_consistency(ru: jnp.ndarray, rv: jnp.ndarray,
+                          depth_m: jnp.ndarray, valid: jnp.ndarray,
+                          mag: jnp.ndarray, cfg: DynaConfig
+                          ) -> jnp.ndarray:
+    """Pixels whose homography residual is explained by STATIC parallax.
+
+    Goes beyond the reference (which has no defense in the 3-10 px gray zone
+    between the threshold ladder and the large-motion fallback — static
+    close-range structure gets masked whenever the n-2 baseline reaches a few
+    cm). Camera-translation parallax after the homography obeys
+        r(x) ~ (invZ(x) - invZ0) * v(x),   v(x) = f*t_xy + (x - c) * t_z,
+    i.e. an inverse-depth-modulated affine field. Relaxing invZ0*v into an
+    independent affine term gives a 6-parameter model LINEAR in the unknowns:
+        ru ~ invZ*(a1 + a3*x) - (b1 + b3*x)
+        rv ~ invZ*(a2 + a3*y) - (b2 + b3*y)
+    which is fit by (two-round robust) weighted least squares on a pixel
+    grid; pixels within tolerance of the prediction AND below
+    ``parallax_max_px`` are classified static parallax. Independent movers
+    must match both components of this depth-coupled field by coincidence to
+    be excluded — and then still get caught once their motion departs from
+    the epipolar direction on later frames.
+    """
+    h, w = ru.shape
+    step = cfg.sample_grid_step
+    ys = jnp.arange(step // 2, h, step)
+    xs = jnp.arange(step // 2, w, step)
+    yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
+    yy = yy.reshape(-1)
+    xx = xx.reshape(-1)
+
+    inv_z_img = jnp.where(valid, 1.0 / jnp.maximum(depth_m, 0.05), 0.0)
+    cx = (w - 1) / 2.0
+    cy = (h - 1) / 2.0
+
+    def design(yv, xv, iz):
+        xt = (xv.astype(jnp.float32) - cx) / w        # normalized coords
+        yt = (yv.astype(jnp.float32) - cy) / h
+        z1 = jnp.zeros_like(iz)
+        o = jnp.ones_like(iz)
+        # rows for ru: [iz, 0, iz*xt, -1, 0, -xt]
+        Au = jnp.stack([iz, z1, iz * xt, -o, z1, -xt], -1)
+        # rows for rv: [0, iz, iz*yt, 0, -1, -yt]
+        Av = jnp.stack([z1, iz, iz * yt, z1, -o, -yt], -1)
+        return Au, Av
+
+    iz_s = inv_z_img[yy, xx]
+    ru_s = ru[yy, xx]
+    rv_s = rv[yy, xx]
+    ok_s = valid[yy, xx] & (jnp.sqrt(ru_s ** 2 + rv_s ** 2)
+                            < cfg.parallax_max_px)
+    Au, Av = design(yy, xx, iz_s)
+    A = jnp.concatenate([Au, Av], 0)                  # (2N, 6)
+    b = jnp.concatenate([ru_s, rv_s], 0)
+    w0 = jnp.concatenate([ok_s, ok_s], 0).astype(jnp.float32)
+
+    def solve(wts):
+        Aw = A * wts[:, None]
+        M = A.T @ Aw + 1e-4 * jnp.eye(6)
+        rhs = Aw.T @ b
+        return jnp.linalg.solve(M, rhs)
+
+    theta = solve(w0)
+    # robust re-weight: Huber-style down-weight of misfits (movers)
+    err = jnp.abs(A @ theta - b)
+    w1 = w0 * jnp.minimum(1.0, 1.0 / jnp.maximum(err, 0.5))
+    theta = solve(w1)
+
+    # model validity: if the (robust) fit does not explain the candidate
+    # residuals, disable the exclusion entirely (never weaken real movers)
+    err2 = jnp.abs(A @ theta - b)
+    med_err = jnp.nanmedian(jnp.where(w0 > 0, err2, jnp.nan))
+    model_ok = jnp.nan_to_num(med_err, nan=1e9) < cfg.parallax_fit_med_px
+
+    # dense prediction + per-pixel test
+    yyf, xxf = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
+    Auf, Avf = design(yyf.reshape(-1), xxf.reshape(-1),
+                      inv_z_img.reshape(-1))
+    pu = (Auf @ theta).reshape(h, w)
+    pv = (Avf @ theta).reshape(h, w)
+    miss = jnp.sqrt((ru - pu) ** 2 + (rv - pv) ** 2)
+    pred_mag = jnp.sqrt(pu * pu + pv * pv)
+    tol = jnp.maximum(cfg.parallax_tol_px, cfg.parallax_tol_rel * pred_mag)
+    consistent = (miss < tol) & (mag < cfg.parallax_max_px) & valid
+    return consistent & model_ok
+
+
 def flow_residual_mask(
     flow_u: jnp.ndarray, flow_v: jnp.ndarray,
     weight_map: jnp.ndarray,
     valid: jnp.ndarray,
     cfg: DynaConfig,
     key: jax.Array,
+    depth_m: jnp.ndarray | None = None,
 ) -> FlowMaskResult:
     """Compute the dynamic low/high masks from a dense flow field.
 
     flow_u/v: (H, W) full-resolution flow. weight_map: (H, W) sampling weights
     (see :func:`sample_weights`). valid: (H, W) bool, pixels with valid depth.
+    depth_m enables the parallax-consistency exclusion (static structure
+    whose residual matches the camera-translation/inverse-depth law is not
+    masked).
     """
     h, w = flow_u.shape
     step = cfg.sample_grid_step
@@ -152,4 +242,9 @@ def flow_residual_mask(
     low, high = _threshold_ladder(mag, valid, cfg)
     low_mask = (mag > low) & valid
     high_mask = (mag > high) & valid
+
+    if depth_m is not None and cfg.parallax_filter:
+        parallax = _parallax_consistency(ru, rv, depth_m, valid, mag, cfg)
+        low_mask = low_mask & ~parallax
+        high_mask = high_mask & ~parallax
     return FlowMaskResult(low_mask, high_mask, mag, H, low, high, large_motion)

@@ -262,6 +262,28 @@ def _border_mask(score: jnp.ndarray, margin: int) -> jnp.ndarray:
     return jnp.where(ok, score, 0.0)
 
 
+_ATLAS_GAP = 32   # inter-level gap: > patch radius, so field ops can't leak
+
+
+@functools.lru_cache(maxsize=8)
+def _atlas_layout(height: int, width: int, n_levels: int, scale: float):
+    """Static vertical packing of pyramid levels into one canvas.
+
+    Returns (shapes, y-offsets, atlas height). The atlas lets FAST scoring,
+    the IC-angle moment fields, the descriptor blur, and the BRIEF sample
+    gathers each run ONCE over all levels instead of 8 per-level op chains —
+    on TPU the per-level images are small enough that kernel count, not
+    FLOPs, dominates.
+    """
+    shapes = level_shapes(height, width, n_levels, scale)
+    offs = []
+    y = 0
+    for (lh, lw) in shapes:
+        offs.append(y)
+        y += lh + _ATLAS_GAP
+    return shapes, offs, y - _ATLAS_GAP
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "height", "width"))
 def extract_orb(
     gray: jnp.ndarray,
@@ -276,40 +298,54 @@ def extract_orb(
     dyna_mask: (H, W) int/uint8, 255 = dynamic (reference encoding). Pass
     zeros to disable erasure.
     """
-    shapes = level_shapes(height, width, cfg.n_levels, cfg.scale_factor)
+    shapes, offs, atlas_h = _atlas_layout(height, width, cfg.n_levels,
+                                          cfg.scale_factor)
     quotas = level_quotas(cfg.n_features, cfg.n_levels, cfg.scale_factor)
 
     g = gray.astype(jnp.float32)
-    feats_xy, feats_lvl, feats_ang, feats_score, feats_desc = [], [], [], [], []
+    # ---- build the level atlas (the resize chain stays sequential)
+    atlas = jnp.zeros((atlas_h, width), jnp.float32)
     level_img = g
-    for l, ((lh, lw), quota) in enumerate(zip(shapes, quotas)):
+    for l, ((lh, lw), y0) in enumerate(zip(shapes, offs)):
         if l > 0:
             level_img = im.resize_bilinear(level_img, (lh, lw))
-        # one FAST pass: the score IS the max threshold margin, so the
-        # high-threshold map is a relabeling of the low-threshold map
-        s_lo = fast_score_map(level_img, float(cfg.min_th_fast))
-        s_hi = jnp.where(s_lo > cfg.ini_th_fast, s_lo, 0.0)
-        # low-threshold fallback only where the high threshold found nothing
-        # in the local cell; approximating with a pixel-level mix biased by a
-        # large bonus for high-threshold corners preserves their priority.
-        score = jnp.where(s_hi > 0, s_hi + 1000.0, s_lo)
-        score = _border_mask(_nms3(score), _EDGE_MARGIN)
+        atlas = lax.dynamic_update_slice(atlas, level_img, (y0, 0))
+
+    # ---- whole-atlas field passes (ONE op chain for all levels)
+    s_lo = fast_score_map(atlas, float(cfg.min_th_fast))
+    s_hi = jnp.where(s_lo > cfg.ini_th_fast, s_lo, 0.0)
+    # low-threshold fallback only where the high threshold found nothing in
+    # the local cell; a pixel-level mix with a large bonus for high-threshold
+    # corners preserves their priority.
+    score_atlas = jnp.where(s_hi > 0, s_hi + 1000.0, s_lo)
+    score_atlas = _nms3(score_atlas)
+    m10_img, m01_img = ic_angle_fields(atlas)
+    blur = im.gaussian_blur(atlas, 7, 2.0)
+
+    # ---- per-level candidate selection (top-k stays per level: quotas)
+    feats_xy, feats_lvl, feats_score, yx_atlas = [], [], [], []
+    for l, ((lh, lw), y0, quota) in enumerate(zip(shapes, offs, quotas)):
+        score = lax.dynamic_slice(score_atlas, (y0, 0), (lh, lw))
+        score = _border_mask(score, _EDGE_MARGIN)
         yx, sc = _cell_candidates(score, quota)
-        ang = ic_angle(level_img, yx)
-        blur = im.gaussian_blur(level_img, 7, 2.0)
-        desc = brief_descriptors(blur, yx, ang)
         scale_back = cfg.scale_factor ** l
-        feats_xy.append(jnp.stack([yx[:, 1], yx[:, 0]], axis=-1).astype(jnp.float32) * scale_back)
+        feats_xy.append(jnp.stack([yx[:, 1], yx[:, 0]], axis=-1
+                                  ).astype(jnp.float32) * scale_back)
         feats_lvl.append(jnp.full((quota,), l, jnp.int32))
-        feats_ang.append(ang)
         feats_score.append(sc)
-        feats_desc.append(desc)
+        yx_atlas.append(yx + jnp.array([[y0, 0]], jnp.int32))
+
+    yx_all = jnp.concatenate(yx_atlas)                   # atlas coords
+    # ---- ONE moment gather + ONE descriptor sampling pass for all levels
+    flat_idx = yx_all[:, 0] * width + yx_all[:, 1]
+    m10 = jnp.take(m10_img.reshape(-1), flat_idx, axis=0)
+    m01 = jnp.take(m01_img.reshape(-1), flat_idx, axis=0)
+    ang = jnp.arctan2(m01, m10)
+    desc = brief_descriptors(blur, yx_all, ang)
 
     xy = jnp.concatenate(feats_xy)
     lvl = jnp.concatenate(feats_lvl)
-    ang = jnp.concatenate(feats_ang)
     sc = jnp.concatenate(feats_score)
-    desc = jnp.concatenate(feats_desc)
     valid = jnp.isfinite(sc) & (sc > 0)
 
     # --- dynamic-mask erasure with lost-prevention revert

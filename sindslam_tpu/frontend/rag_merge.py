@@ -47,10 +47,15 @@ class RagResult(NamedTuple):
 
 
 def components_from_labels(labels: jnp.ndarray, mask: jnp.ndarray,
-                           n_iters: int = 48) -> jnp.ndarray:
+                           n_iters: int = 48, jump_every: int = 5
+                           ) -> jnp.ndarray:
     """Connected components where 4-neighbors connect only if ``labels`` agree
     and both are in ``mask``. Returns int32 component ids (min linear index+1)
-    or 0 outside the mask."""
+    or 0 outside the mask.
+
+    The pointer-jumping hop (a full-image random gather, the dominant TPU
+    cost) runs every ``jump_every``-th sweep; reach ~ jump_every *
+    2^(n_iters / jump_every) pixels of in-component path length."""
     h, w = labels.shape
     big = jnp.iinfo(jnp.int32).max
     idx = (jnp.arange(h * w, dtype=jnp.int32) + 1).reshape(h, w)
@@ -76,7 +81,8 @@ def components_from_labels(labels: jnp.ndarray, mask: jnp.ndarray,
                          ).reshape(h, w)
             return jnp.where((b > 0) & (j > 0), jnp.minimum(b, j), b)
 
-        best = lax.cond(it % 4 == 3, jump, lambda b: b, best)
+        best = lax.cond(it % jump_every == jump_every - 1, jump,
+                        lambda b: b, best)
         return best, None
 
     comp, _ = lax.scan(step, comp, jnp.arange(n_iters))

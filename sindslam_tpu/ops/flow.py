@@ -180,14 +180,18 @@ def _level_solve(
     VMEM-resident Pallas kernel on TPU."""
     i1x, i1y = _grad(i1)
     inner_solver = _inner_solve_pallas if _use_pallas(cfg) else _inner_solve_jax
+    # On TPU the point-gather warp is scalar-unit bound (~9 ns/index); the
+    # one-hot-matmul warp rides the MXU instead (8x faster at 288x384). Tiny
+    # levels keep the gather (matmul padding overhead dominates below ~96 px).
+    use_mm = _use_pallas(cfg) and min(i1.shape) >= 96
+    warp = im.warp_by_flow_mm if use_mm else im.warp_by_flow
 
     def outer_step(carry, _):
         u, v = carry
         # Warp I2 by the current flow. Gradients of the warped image stand in
         # for warped gradients (differs by the flow Jacobian, standard
-        # approximation) — this keeps it to ONE gather per outer iteration;
-        # gathers are the dominant cost of the solve on TPU.
-        i2w, inb = im.warp_by_flow(i2, u, v)
+        # approximation) — this keeps it to ONE warp per outer iteration.
+        i2w, inb = warp(i2, u, v)
         inbf = inb.astype(jnp.float32)
         i2wx, i2wy = _grad(i2w)
 

@@ -126,6 +126,54 @@ def warp_by_flow(img: jnp.ndarray, flow_u: jnp.ndarray, flow_v: jnp.ndarray
     return warp_bilinear(img, ys + flow_v, xs + flow_u)
 
 
+def warp_by_flow_mm(img: jnp.ndarray, flow_u: jnp.ndarray, flow_v: jnp.ndarray,
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Gather-free bilinear backward-warp via one-hot matmuls (MXU).
+
+    XLA point-gathers on TPU cost ~9 ns/index (scalar-unit bound): the
+    4-corner gather warp runs ~3.8 ms at 288x384 and dominates the whole
+    variational-flow solve. This formulation replaces the gather with two
+    dense contractions that ride the MXU/VPU (~0.45 ms, 8x):
+
+      G[i,j,m]  = sum_k Wy[i,j,k] * img[k,m]     (vertical interpolation of
+                                                  EVERY column at y(i,j))
+      out[i,j]  = sum_m Wx[i,j,m] * G[i,j,m]     (horizontal pick+lerp)
+
+    Wy/Wx are two-entry-per-row one-hot interpolation weights built from
+    iota comparisons; XLA fuses their construction into the contractions so
+    the (H, W, max(H, W)) tensors never hit HBM at full cost. Numerically
+    within ~1e-2 of the gather warp (MXU bf16 passes); use for images, not
+    for geometry.
+
+    Matches warp_by_flow semantics: clamped sampling + in-bounds mask.
+    """
+    h, w = img.shape
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None] + flow_v
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :] + flow_u
+    inb = (ys >= 0) & (ys <= h - 1) & (xs >= 0) & (xs <= w - 1)
+    cy = jnp.clip(ys, 0.0, h - 1.0)
+    cx = jnp.clip(xs, 0.0, w - 1.0)
+    y0 = jnp.floor(cy).astype(jnp.int32)
+    x0 = jnp.floor(cx).astype(jnp.int32)
+    fy = cy - y0
+    fx = cx - x0
+
+    k = jnp.arange(h, dtype=jnp.int32)
+    wy = ((k[None, None, :] == y0[:, :, None]).astype(jnp.float32)
+          * (1 - fy[:, :, None])
+          + (k[None, None, :] == y0[:, :, None] + 1).astype(jnp.float32)
+          * fy[:, :, None])                                   # (H, W, H)
+    g = jnp.einsum("ijk,km->ijm", wy, img,
+                   precision=lax.Precision.DEFAULT)           # (H, W, W)
+    m = jnp.arange(w, dtype=jnp.int32)
+    wx = ((m[None, None, :] == x0[:, :, None]).astype(jnp.float32)
+          * (1 - fx[:, :, None])
+          + (m[None, None, :] == x0[:, :, None] + 1).astype(jnp.float32)
+          * fx[:, :, None])                                   # (H, W, W)
+    out = jnp.sum(wx * g, axis=-1)
+    return out, inb
+
+
 def median_filter(img: jnp.ndarray, ksize: int = 5) -> jnp.ndarray:
     """ksize x ksize median with replicate borders (cv::medianBlur parity on
     interior pixels). The 3x3 case — the flow solver's per-outer-iteration
@@ -310,15 +358,18 @@ def triangle_threshold(hist: jnp.ndarray) -> jnp.ndarray:
     return jnp.argmax(dist).astype(jnp.float32)
 
 
-def connected_relabel(mask: jnp.ndarray, n_iters: int = 64) -> jnp.ndarray:
+def connected_relabel(mask: jnp.ndarray, n_iters: int = 64,
+                      jump_every: int = 4) -> jnp.ndarray:
     """Connected components by iterative min-label propagation on a binary
     mask (4-connectivity). Returns an int32 image where each component carries
     the minimum linear index of its pixels + 1; background = 0.
 
-    Fixed iteration count (static for XLA). Each iteration does one
-    neighbor-min sweep followed by a pointer-jumping hop (label chases the
-    label of the pixel it points at), giving near-logarithmic convergence, so
-    n_iters=64 covers any component in a 640x480 image with a wide margin.
+    Fixed iteration count (static for XLA). Neighbor-min sweeps are nearly
+    free vector ops; every ``jump_every``-th iteration adds a pointer-jumping
+    hop (label chases the label of the pixel it points at) — each hop is a
+    full-image random gather (~0.9 ms per 77k px on TPU) and dominates the
+    cost, so the schedule trades hop count against reach: reach is roughly
+    jump_every * 2^(n_iters/jump_every) pixels of in-component path length.
     Replaces ``cv::findContours`` / flood-fill style component logic for the
     fixed-shape TPU pipeline.
     """
@@ -335,14 +386,13 @@ def connected_relabel(mask: jnp.ndarray, n_iters: int = 64) -> jnp.ndarray:
         neigh = jnp.where(neigh > 0, neigh, big)
         best = jnp.minimum(jnp.min(neigh, axis=0), jnp.where(labels > 0, labels, big))
         best = jnp.where(mask, best, 0)
-        # pointer jumping every 4th sweep: the full-image random gather is by
-        # far the most expensive op on TPU, and periodic jumps retain the
-        # (near-)multiplicative reach growth
+
         def jump(b):
             j = jnp.take(b.reshape(-1), jnp.maximum(b - 1, 0).reshape(-1)).reshape(h, w)
             return jnp.where((b > 0) & (j > 0), jnp.minimum(b, j), b)
 
-        best = lax.cond(it % 4 == 3, jump, lambda b: b, best)
+        best = lax.cond(it % jump_every == jump_every - 1, jump,
+                        lambda b: b, best)
         return best, None
 
     labels, _ = lax.scan(step, labels, jnp.arange(n_iters))

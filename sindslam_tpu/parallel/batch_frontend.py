@@ -54,7 +54,8 @@ def _single_pair(rgb, rgb_prev, depth, key, cfg: SystemConfig):
     kml, _ = seg_by_kmeans(depth, cfg.camera, cfg.dyna, None)
     er = cal_occluded(depth, cfg.camera, cfg.dyna)
     rr = rag_merge(kml, er.occluded1, er.occluded2, er.total_area, depth, cfg.dyna)
-    fm = flow_residual_mask(u, v, jnp.ones_like(gray), valid, cfg.dyna, key)
+    fm = flow_residual_mask(u, v, jnp.ones_like(gray), valid, cfg.dyna, key,
+                            depth_m=depth)
     fu = fuse_masks(fm.low_mask, fm.high_mask, jnp.zeros_like(valid),
                     rr.label_img, valid, cfg.dyna)
     feats = extract_orb(gray, fu.dyna_mask, cfg.orb,

@@ -21,6 +21,13 @@ import jax  # noqa: E402
 # long as no backend has been initialized yet.
 jax.config.update("jax_platform_name", "cpu")
 
+# Persistent compilation cache: the heavy fused front-end graphs take minutes
+# to compile even on CPU; cache them across test runs.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

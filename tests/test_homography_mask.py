@@ -175,3 +175,49 @@ def test_sample_weights_semantics():
     assert abs(m[1] - 0.9) < 0.2
     assert abs(m[2] - 0.4) < 0.25
     assert (np.asarray(w) > 0).all()
+
+
+def test_parallax_consistency_excludes_static_keeps_mover():
+    """The parallax filter (beyond-reference feature): residuals that follow
+    the camera-translation * inverse-depth law are excluded from the masks;
+    an independent mover whose flow violates the law stays masked."""
+    import numpy as np
+    from sindslam_tpu.config import DynaConfig
+    from sindslam_tpu.frontend.flow_mask import flow_residual_mask
+
+    h, w = 240, 320
+    cfg = DynaConfig()
+    rng = np.random.default_rng(7)
+    # depth: far wall 5 m with a near box (2 m) patch
+    depth = np.full((h, w), 5.0, np.float32)
+    depth[60:160, 40:140] = 2.0
+    inv_z = 1.0 / depth
+    # residual field = lateral camera translation parallax (already
+    # homography-compensated against the far wall): r = k*(invZ - 1/5)
+    k = 14.0
+    ru = (k * (inv_z - 0.2)).astype(np.float32)
+    rv = np.zeros((h, w), np.float32)
+    # an independent mover at mid-depth moving VERTICALLY (violates the law)
+    depth[80:140, 200:260] = 3.0
+    ru[80:140, 200:260] = 0.0
+    rv[80:140, 200:260] = 4.0
+    ru += rng.normal(0, 0.1, ru.shape).astype(np.float32)
+    rv += rng.normal(0, 0.1, rv.shape).astype(np.float32)
+    # feed the residual directly as the "flow" with an identity-homography
+    # inducing field: H fit on weighted samples will be ~identity since the
+    # dominant surface (wall) has near-zero residual
+    u = jnp.asarray(ru)
+    v = jnp.asarray(rv)
+    valid = jnp.ones((h, w), bool)
+    res = flow_residual_mask(u, v, jnp.ones((h, w), jnp.float32), valid,
+                             cfg, jax.random.PRNGKey(0),
+                             depth_m=jnp.asarray(depth))
+    low = np.asarray(res.low_mask)
+    # the near box (pure parallax, ~2.1 px residual) is NOT masked
+    box = np.zeros((h, w), bool)
+    box[65:155, 45:135] = True
+    assert low[box].mean() < 0.05, low[box].mean()
+    # the mover IS masked
+    mover = np.zeros((h, w), bool)
+    mover[85:135, 205:255] = True
+    assert low[mover].mean() > 0.8, low[mover].mean()

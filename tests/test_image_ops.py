@@ -185,3 +185,22 @@ def test_connected_relabel_spiral_converges():
     labels = np.asarray(im.connected_relabel(jnp.asarray(mask), n_iters=64))
     comp_ids = np.unique(labels[mask])
     assert len(comp_ids) == 2  # the C-shaped rim and the T piece
+
+
+def test_warp_by_flow_mm_matches_gather():
+    """The one-hot-matmul warp (TPU fast path) must agree with the gather
+    warp: same clamped bilinear semantics, same in-bounds mask."""
+    import numpy as np
+    from sindslam_tpu.ops import image as im
+
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(rng.standard_normal((48, 64)).astype(np.float32))
+    u = jnp.asarray((rng.standard_normal((48, 64)) * 4).astype(np.float32))
+    v = jnp.asarray((rng.standard_normal((48, 64)) * 4).astype(np.float32))
+    a, inb_a = im.warp_by_flow(img, u, v)
+    b, inb_b = im.warp_by_flow_mm(img, u, v)
+    np.testing.assert_array_equal(np.asarray(inb_a), np.asarray(inb_b))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=2e-2, rtol=0)
+    # on CPU (f32 contractions) the agreement is tight
+    assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-4
