@@ -15,7 +15,7 @@ from jax import lax
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(os.path.dirname(
                       os.path.abspath(__file__))), ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 N = int(os.environ.get("PROF_ITERS", "10"))
 R = int(os.environ.get("PROF_REPS", "20"))
