@@ -245,8 +245,11 @@ def make_benchmark_sequence(name: str, n_frames: int = 10, seed: int = 0,
         offs = dynamic_offsets(n_frames, speed=0.035)
     elif name == "fast_cam":
         # large inter-frame camera motion: exercises the n-1 flow fallback
+        # (~4x the other sequences' per-frame motion; beyond ~0.06/frame the
+        # ORB matcher itself loses the baseline and tracking fails for any
+        # masking choice)
         scene = make_default_scene(seed, with_dynamic=True)
-        poses = make_trajectory(n_frames, 0.85, seed)
+        poses = make_trajectory(n_frames, 4.0 * amp, seed)
         offs = dynamic_offsets(n_frames, speed=0.05)
     elif name == "multi_mover":
         scene = make_default_scene(seed, with_dynamic=True)
@@ -279,7 +282,9 @@ def make_benchmark_sequence(name: str, n_frames: int = 10, seed: int = 0,
         offs = np.zeros((n_frames, len(scene.rects), 3))
         for i in range(n_frames):
             s = i / max(n_frames - 1, 1)
-            offs[i, -1] = [3.2 * s, 0.1 * np.sin(2.0 * s), 0.0]
+            # ~10 cm/frame sweep across box B's line of sight (a brisk
+            # walking pace at these frame counts)
+            offs[i, -1] = [0.1 * i, 0.1 * np.sin(2.0 * s), 0.0]
     else:
         raise ValueError(f"unknown benchmark sequence {name!r}; "
                          f"choose from {BENCHMARK_SEQUENCES}")

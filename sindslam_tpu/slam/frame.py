@@ -9,10 +9,12 @@ capacity (the extractor's feature cap); invalid slots carry valid=False.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from sindslam_tpu.config import CameraConfig
@@ -31,20 +33,28 @@ class FrameData(NamedTuple):
     timestamp: float = 0.0
 
 
+@functools.partial(jax.jit, static_argnames=("cam",))
+def _depth_ur(xy: jnp.ndarray, depth_img: jnp.ndarray, cam: CameraConfig):
+    xi = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32), 0, cam.width - 1)
+    yi = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), 0, cam.height - 1)
+    z = depth_img[yi, xi]
+    z_ok = (z > 0.05) & jnp.isfinite(z)
+    z = jnp.where(z_ok, z, 0.0)
+    ur = jnp.where(z_ok, xy[:, 0] - cam.bf / jnp.where(z_ok, z, 1.0), -1.0)
+    return z, ur
+
+
 def build_frame(feats: OrbFeatures, depth_img: jnp.ndarray, cam: CameraConfig,
                 timestamp: float = 0.0) -> FrameData:
     """Attach depth/uR measurements to extracted features.
 
     Depth is sampled at the rounded keypoint location; zero or out-of-range
     depth yields a mono observation (ur = -1), like the reference's
-    ComputeStereoFromRGBD.
+    ComputeStereoFromRGBD. One jitted dispatch (per-frame host path: eager
+    ops each cost a tunnel round trip + a ~0.4 s first-compile through the
+    remote compile service).
     """
-    xi = jnp.clip(jnp.round(feats.xy[:, 0]).astype(jnp.int32), 0, cam.width - 1)
-    yi = jnp.clip(jnp.round(feats.xy[:, 1]).astype(jnp.int32), 0, cam.height - 1)
-    z = depth_img[yi, xi]
-    z_ok = (z > 0.05) & jnp.isfinite(z)
-    z = jnp.where(z_ok, z, 0.0)
-    ur = jnp.where(z_ok, feats.xy[:, 0] - cam.bf / jnp.where(z_ok, z, 1.0), -1.0)
+    z, ur = _depth_ur(feats.xy, depth_img, cam)
     return FrameData(xy=feats.xy, level=feats.level, angle=feats.angle,
                      desc=feats.desc, valid=feats.valid, depth=z, ur=ur,
                      timestamp=timestamp)
@@ -68,15 +78,19 @@ class HostFrame(NamedTuple):
     ur: np.ndarray       # (N,) float32
 
 
-def to_host(frame: FrameData) -> HostFrame:
-    """Materialize a frame to host with 2 transfers (one f32 pack + desc)."""
-    pack = jnp.concatenate(
+@jax.jit
+def _host_pack(frame: FrameData) -> jnp.ndarray:
+    return jnp.concatenate(
         [frame.xy,
          frame.ur[:, None], frame.depth[:, None],
          frame.level.astype(jnp.float32)[:, None],
          frame.angle[:, None],
          frame.valid.astype(jnp.float32)[:, None]], axis=1)
-    h = np.asarray(pack)
+
+
+def to_host(frame: FrameData) -> HostFrame:
+    """Materialize a frame to host with 2 transfers (one f32 pack + desc)."""
+    h = np.asarray(_host_pack(frame))
     d = np.asarray(frame.desc)
     return HostFrame(xy=np.ascontiguousarray(h[:, :2]), ur=h[:, 2],
                      depth=h[:, 3], level=h[:, 4].astype(np.int32),
