@@ -109,3 +109,40 @@ def test_stage_timer():
     assert 8 < t.mean_ms("a") < 100
     rep = t.report()
     assert "a" in rep and "b" in rep and "ms/frame" in rep
+
+
+def test_ar_projection_geometry(tmp_path):
+    """viz.ar: a cube 2 m straight ahead projects around the principal
+    point; the rendered overlay file is written (AR-demo role of the
+    reference's ViewerAR.cc)."""
+    import numpy as np
+    from sindslam_tpu.config import CameraConfig
+    from sindslam_tpu.viz.ar import (anchor_from_map, cube_vertices,
+                                     project_edges, render_ar_frame)
+
+    cam = CameraConfig()
+    center = np.array([0.0, 0.0, 2.0])
+    verts = cube_vertices(center, 0.4)
+    uv, ok = project_edges(verts, np.eye(4), cam)
+    assert ok.all()
+    # all corners within a few hundred px of the principal point
+    assert (np.abs(uv[:, 0] - cam.cx) < 120).all()
+    assert (np.abs(uv[:, 1] - cam.cy) < 120).all()
+    # top face (y = -size; vertex order sx, sy, sz) projects ABOVE the
+    # bottom face in image space
+    assert uv[2, 1] < uv[0, 1]
+
+    # anchor picker: dominant horizontal band of a synthetic floor + noise
+    rng = np.random.default_rng(0)
+    floor = np.stack([rng.uniform(-2, 2, 300), np.full(300, 1.6) +
+                      rng.normal(0, 0.01, 300), rng.uniform(1, 5, 300)], -1)
+    noise = rng.uniform(-2, 2, (40, 3))
+    anchor = anchor_from_map(np.concatenate([floor, noise]))
+    assert abs(anchor[1] - 1.6) < 0.1
+
+    rgb = np.zeros((cam.height, cam.width, 3), np.uint8)
+    out = str(tmp_path / "ar.png")
+    render_ar_frame(rgb, np.eye(4), cam, center, out,
+                    keypoints_xy=np.array([[100.0, 100.0]]))
+    import os
+    assert os.path.getsize(out) > 1000
