@@ -138,6 +138,7 @@ def main() -> int:
             with timer.stage("frontend(fused)"):
                 out, fused_state = frontend_step(jnp.asarray(rgb), d, fused_state, cfg)
             mask, label, feats = out.dyna_mask, out.label_img, out.features
+            fused_out = out
             t1 = time.time()
             t_detect += t1 - t0
         elif dyna is not None:
@@ -154,7 +155,12 @@ def main() -> int:
             with timer.stage("orb"):
                 feats = orb.extract_orb(g, mask, ocfg,
                                         height=cam.height, width=cam.width)
-        frame = build_frame(feats, d, cam, ts)
+        if args.dyna and args.fused:
+            from sindslam_tpu.slam.frame import frame_from_frontend
+
+            frame = frame_from_frontend(fused_out, ts)  # no extra dispatch
+        else:
+            frame = build_frame(feats, d, cam, ts)
         with timer.stage("tracking"):
             if slam is not None:
                 Tcw, is_kf = slam.track_frame(frame, ts)

@@ -96,7 +96,7 @@ def run_sequence_slam(frames: List[tuple], cfg: SystemConfig,
     from sindslam_tpu.frontend import orb as orb_mod
     from sindslam_tpu.frontend.pipeline import frontend_step, init_state
     from sindslam_tpu.ops import image as im
-    from sindslam_tpu.slam.frame import build_frame
+    from sindslam_tpu.slam.frame import build_frame, frame_from_frontend
     from sindslam_tpu.slam.system import SlamSystem
 
     cam = cfg.camera
@@ -118,7 +118,12 @@ def run_sequence_slam(frames: List[tuple], cfg: SystemConfig,
             if state is None:
                 state = init_state(cfg, g)
             out, state = frontend_step(rgb_j, d, state, cfg)
-            mask, feats = out.dyna_mask, out.features
+            mask = out.dyna_mask
+            frame = frame_from_frontend(out, ts)
+            slam.track_frame(frame, ts)
+            masks.append(np.asarray(mask))
+            ts_out.append(ts)
+            continue
         else:
             mask = jnp.zeros((cam.height, cam.width), jnp.int32)
             feats = orb_mod.extract_orb(g, mask, cfg.orb,

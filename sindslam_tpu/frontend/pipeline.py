@@ -47,6 +47,10 @@ class FrontendOutput(NamedTuple):
     label_img: jnp.ndarray   # (H, W) int32 cluster labels
     features: OrbFeatures    # masked ORB features
     large_motion: jnp.ndarray
+    kp_depth: jnp.ndarray    # (N,) per-keypoint depth (0 = invalid) — the
+    #                          Frame's ComputeStereoFromRGBD fused in, so the
+    #                          tracker needs no extra build_frame dispatch
+    kp_ur: jnp.ndarray       # (N,) virtual-right u (-1 = mono)
 
 
 def init_state(cfg: SystemConfig, gray0: jnp.ndarray) -> FrontendState:
@@ -116,6 +120,11 @@ def frontend_step(
 
     feats = extract_orb(gray, mask_for_orb, cfg.orb,
                         height=cfg.camera.height, width=cfg.camera.width)
+    # per-keypoint depth + virtual-stereo uR (Frame::ComputeStereoFromRGBD)
+    # fused into the same graph: one fewer dispatch on the tracking path
+    from sindslam_tpu.slam.frame import _depth_ur
+
+    kp_depth, kp_ur = _depth_ur(feats.xy, depth_m, cfg.camera)
 
     new_state = FrontendState(
         gray_m1=gray,
@@ -129,5 +138,6 @@ def frontend_step(
     )
     out = FrontendOutput(dyna_mask=mask_for_orb.astype(jnp.int32),
                          label_img=rr.label_img, features=feats,
-                         large_motion=large_motion)
+                         large_motion=large_motion,
+                         kp_depth=kp_depth, kp_ur=kp_ur)
     return out, new_state

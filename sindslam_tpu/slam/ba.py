@@ -49,6 +49,19 @@ class BAResult(NamedTuple):
     points: jnp.ndarray
     obs_inlier: jnp.ndarray  # (M,) bool post-optimization classification
     mean_chi2: jnp.ndarray
+    packed: jnp.ndarray      # poses | points | mean_chi2 flattened f32 —
+    #                          ONE device->host transfer (each transfer is a
+    #                          ~21 ms tunnel round trip)
+
+
+def unpack_ba_result(packed, n_poses: int, n_points: int):
+    """Host decode of BAResult.packed -> (poses (K,4,4), points (P,3), chi2)."""
+    import numpy as np
+
+    k16 = n_poses * 16
+    poses = packed[:k16].reshape(n_poses, 4, 4).copy()
+    pts = packed[k16:k16 + 3 * n_points].reshape(n_points, 3).copy()
+    return poses, pts, float(packed[-1])
 
 
 def _residuals_jac(problem: BAProblem, cam: CameraConfig, inv_sigma2):
@@ -193,5 +206,8 @@ def local_bundle_adjustment(problem: BAProblem, cam: CameraConfig,
     inliers = active & (chi2 <= thresh)
     mean_chi2 = jnp.sum(jnp.where(inliers, chi2, 0.0)) / \
         jnp.maximum(jnp.sum(inliers), 1)
+    packed = jnp.concatenate([
+        problem.poses.reshape(-1), problem.points.reshape(-1),
+        mean_chi2.reshape(1)]).astype(jnp.float32)
     return BAResult(poses=problem.poses, points=problem.points,
-                    obs_inlier=inliers, mean_chi2=mean_chi2)
+                    obs_inlier=inliers, mean_chi2=mean_chi2, packed=packed)

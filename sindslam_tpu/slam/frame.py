@@ -60,6 +60,15 @@ def build_frame(feats: OrbFeatures, depth_img: jnp.ndarray, cam: CameraConfig,
                      timestamp=timestamp)
 
 
+def frame_from_frontend(out, timestamp: float = 0.0) -> FrameData:
+    """FrameData straight from a FrontendOutput — the fused front-end graph
+    already computed per-keypoint depth/uR, so this is free (no dispatch)."""
+    f = out.features
+    return FrameData(xy=f.xy, level=f.level, angle=f.angle, desc=f.desc,
+                     valid=f.valid, depth=out.kp_depth, ur=out.kp_ur,
+                     timestamp=timestamp)
+
+
 class HostFrame(NamedTuple):
     """Host (numpy) copy of a frame's feature tensors.
 
@@ -80,18 +89,23 @@ class HostFrame(NamedTuple):
 
 @jax.jit
 def _host_pack(frame: FrameData) -> jnp.ndarray:
+    import jax.lax as lax
+
+    desc_f = lax.bitcast_convert_type(frame.desc, jnp.float32)  # (N, 8)
     return jnp.concatenate(
         [frame.xy,
          frame.ur[:, None], frame.depth[:, None],
          frame.level.astype(jnp.float32)[:, None],
          frame.angle[:, None],
-         frame.valid.astype(jnp.float32)[:, None]], axis=1)
+         frame.valid.astype(jnp.float32)[:, None],
+         desc_f], axis=1)
 
 
 def to_host(frame: FrameData) -> HostFrame:
-    """Materialize a frame to host with 2 transfers (one f32 pack + desc)."""
+    """Materialize a frame to host with ONE transfer (f32 pack; descriptors
+    ride along bitcast to f32 — each transfer is a ~21 ms tunnel trip)."""
     h = np.asarray(_host_pack(frame))
-    d = np.asarray(frame.desc)
+    d = np.ascontiguousarray(h[:, 7:15]).view(np.uint32)
     return HostFrame(xy=np.ascontiguousarray(h[:, :2]), ur=h[:, 2],
                      depth=h[:, 3], level=h[:, 4].astype(np.int32),
                      angle=h[:, 5], valid=h[:, 6] > 0.5, desc=d)

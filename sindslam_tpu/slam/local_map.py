@@ -303,8 +303,11 @@ class LocalMap:
             return None
         problem, window, lut = built
         res = local_bundle_adjustment(problem, self.cam, self.cfg)
-        poses = np.asarray(res.poses)
-        pts = np.asarray(res.points)
+        from sindslam_tpu.slam.ba import unpack_ba_result
+
+        poses, pts, _chi2 = unpack_ba_result(
+            np.asarray(res.packed), problem.poses.shape[0],
+            problem.points.shape[0])
         for s, kf in enumerate(window):
             if s == 0:
                 continue
@@ -312,7 +315,7 @@ class LocalMap:
         n_used = int((lut >= 0).sum())
         ids = lut[:n_used]
         self.pos[ids] = pts[:n_used]
-        return float(res.mean_chi2)
+        return _chi2
 
     def run_global_ba(self, passes: int = 2) -> Optional[float]:
         """Full-map bundle adjustment as overlapping windowed sweeps.

@@ -97,18 +97,19 @@ class SlamSystem:
         # 1 + 2) one fused device dispatch: motion-model tracking AND local-map
         # refinement, with a single packed readback (tunnel round trips are
         # ~25 ms each and dominate host-side tracking time otherwise)
-        from sindslam_tpu.slam.tracking import full_track_step
+        from sindslam_tpu.slam.tracking import full_track_step, unpack_track_out
 
         Tcw_pred = (self.velocity @ self.Tcw).astype(np.float32)
         prev_Twc = np.linalg.inv(self.Tcw).astype(np.float32)
         pos, desc, ok, ids = self.map.local_point_tensors()
+        P = pos.shape[0]
         out = full_track_step(self.prev_frame, jnp.asarray(prev_Twc),
                               frame, jnp.asarray(Tcw_pred),
                               pos, desc, ok, self.cam, self.tcfg,
                               self.tcfg.search_radius_fine)
-        poses = np.asarray(out.poses)
-        counts = np.asarray(out.counts)
-        flags = np.asarray(out.flags)
+        # ONE device->host transfer for the whole step result
+        poses, counts, out_idx, flags = unpack_track_out(
+            np.asarray(out.packed), P)
         n_inl = int(counts[0])
 
         if n_inl < self.tcfg.min_tracked_points:
@@ -117,9 +118,8 @@ class SlamSystem:
                                   frame, jnp.asarray(self.Tcw),
                                   pos, desc, ok, self.cam, self.tcfg,
                                   self.tcfg.search_radius_coarse)
-            poses = np.asarray(out.poses)
-            counts = np.asarray(out.counts)
-            flags = np.asarray(out.flags)
+            poses, counts, out_idx, flags = unpack_track_out(
+                np.asarray(out.packed), P)
             n_inl = int(counts[0])
 
         relocalized = False
@@ -136,9 +136,8 @@ class SlamSystem:
                     jnp.asarray(np.asarray(Tcw_r, np.float32)),
                     pos, desc, ok, self.cam, self.tcfg,
                     self.tcfg.search_radius_coarse)
-                poses = np.asarray(out.poses)
-                counts = np.asarray(out.counts)
-                flags = np.asarray(out.flags)
+                poses, counts, out_idx, flags = unpack_track_out(
+                    np.asarray(out.packed), P)
                 if int(counts[1]) >= self.tcfg.min_tracked_points:
                     n_inl = int(counts[1])
                 else:
@@ -172,7 +171,7 @@ class SlamSystem:
         # threshold the reference uses.
         found = inl_mask & (ids >= 0)
         self.map.n_found[ids[found]] += 1
-        m = _HostMatches(idx=np.asarray(out.map_match_idx), valid=m_valid)
+        m = _HostMatches(idx=out_idx, valid=m_valid)
 
         # 3) velocity + keyframe policy. After relocalization the motion
         # model is meaningless (the reference clears mVelocity); keep

@@ -79,6 +79,18 @@ class FullTrackOut(NamedTuple):
     counts: jnp.ndarray   # (2,) int32: [frame inliers, map inliers]
     map_match_idx: jnp.ndarray   # (P,) int32 target keypoint per map point
     flags: jnp.ndarray    # (3, P) bool: [match valid, obs inlier, in frustum]
+    packed: jnp.ndarray   # (34 + 4P,) float32: everything above in ONE
+    #                       transfer (reading the four fields separately
+    #                       costs four ~21 ms tunnel round trips)
+
+
+def unpack_track_out(packed: np.ndarray, P: int):
+    """Host-side decode of FullTrackOut.packed -> (poses, counts, idx, flags)."""
+    poses = packed[:32].reshape(2, 4, 4).copy()
+    counts = packed[32:34].astype(np.int32)
+    idx = packed[34:34 + P].astype(np.int32)
+    flags = packed[34 + P:].reshape(3, P) > 0.5
+    return poses, counts, idx, flags
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "cfg", "radius"))
@@ -112,7 +124,11 @@ def full_track_step(
     poses = jnp.stack([r1.Tcw, final])
     counts = jnp.stack([r1.n_inliers, opt.n_inliers]).astype(jnp.int32)
     flags = jnp.stack([m.valid, opt.inliers & m.valid, in_frustum & map_ok])
-    return FullTrackOut(poses=poses, counts=counts, map_match_idx=m.idx,
+    packed = jnp.concatenate([
+        poses.reshape(-1), counts.astype(jnp.float32),
+        m.idx.astype(jnp.float32), flags.astype(jnp.float32).reshape(-1)])
+    return FullTrackOut(packed=packed,
+                        poses=poses, counts=counts, map_match_idx=m.idx,
                         flags=flags)
 
 

@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Steady-state SLAM tracking/keyframe timing on TPU (dev tool).
+
+Separates compile/first-use cost from steady state: runs a warmup sequence,
+then re-tracks a fresh SlamSystem over the same frames and reports per-phase
+means (frontend dispatch, track step, keyframe insertion incl. local BA).
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import jax.numpy as jnp
+
+from sindslam_tpu.config import SystemConfig
+from sindslam_tpu.datasets.synthetic import generate_sequence
+from sindslam_tpu.frontend.pipeline import frontend_step, init_state
+from sindslam_tpu.ops import image as im
+from sindslam_tpu.slam.frame import frame_from_frontend
+from sindslam_tpu.slam.system import SlamSystem
+
+N_FRAMES = int(os.environ.get("PROF_FRAMES", "12"))
+cfg = SystemConfig()
+frames = list(generate_sequence(n_frames=N_FRAMES, seed=0, amplitude=0.06))
+
+
+def run(label):
+    slam = SlamSystem(cfg)
+    state = None
+    t_fe, t_tr, t_kf = [], [], []
+    for rgb, depth, _d, _p, ts in frames:
+        rgb_j = jnp.asarray(rgb)
+        d = jnp.asarray(depth)
+        t0 = time.perf_counter()
+        if state is None:
+            state = init_state(cfg, im.rgb_to_gray(rgb_j))
+        out, state = frontend_step(rgb_j, d, state, cfg)
+        frame = frame_from_frontend(out, ts)
+        _ = np.asarray(frame.depth[0])      # sync the front-end chain
+        t1 = time.perf_counter()
+        Tcw, is_kf = slam.track_frame(frame, ts)
+        t2 = time.perf_counter()
+        t_fe.append(t1 - t0)
+        (t_kf if is_kf else t_tr).append(t2 - t1)
+    print(f"[{label}] frontend {1000*np.mean(t_fe):8.1f} ms/frame | "
+          f"track {1000*np.mean(t_tr) if t_tr else 0:8.1f} ms "
+          f"(x{len(t_tr)}) | keyframe {1000*np.mean(t_kf) if t_kf else 0:8.1f} ms "
+          f"(x{len(t_kf)})", flush=True)
+
+
+run("warmup")
+run("steady")
+run("steady2")
