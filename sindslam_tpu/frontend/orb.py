@@ -390,29 +390,41 @@ def extract_orb(
     quotas = level_quotas(cfg.n_features, cfg.n_levels, cfg.scale_factor)
 
     g = gray.astype(jnp.float32)
+    use_pallas_fast = jax.default_backend() == "tpu"
     # ---- build the level atlas (the resize chain stays sequential)
     atlas = jnp.zeros((atlas_h, width), jnp.float32)
     level_img = g
+    level_scores = []
     for l, ((lh, lw), y0) in enumerate(zip(shapes, offs)):
         if l > 0:
             level_img = im.resize_bilinear(level_img, (lh, lw))
         atlas = lax.dynamic_update_slice(atlas, level_img, (y0, 0))
+        if use_pallas_fast:
+            # fused FAST + priority mix + NMS, VMEM-resident per level
+            from sindslam_tpu.ops.pallas_kernels import fast_nms_pallas
 
-    # ---- whole-atlas field passes (ONE op chain for all levels)
-    s_lo = fast_score_map(atlas, float(cfg.min_th_fast))
-    s_hi = jnp.where(s_lo > cfg.ini_th_fast, s_lo, 0.0)
-    # low-threshold fallback only where the high threshold found nothing in
-    # the local cell; a pixel-level mix with a large bonus for high-threshold
-    # corners preserves their priority.
-    score_atlas = jnp.where(s_hi > 0, s_hi + 1000.0, s_lo)
-    score_atlas = _nms3(score_atlas)
+            level_scores.append(fast_nms_pallas(
+                level_img, float(cfg.min_th_fast), float(cfg.ini_th_fast)))
+
+    if not use_pallas_fast:
+        # ---- whole-atlas field passes (ONE op chain for all levels)
+        s_lo = fast_score_map(atlas, float(cfg.min_th_fast))
+        s_hi = jnp.where(s_lo > cfg.ini_th_fast, s_lo, 0.0)
+        # low-threshold fallback only where the high threshold found nothing
+        # in the local cell; a pixel-level mix with a large bonus for
+        # high-threshold corners preserves their priority.
+        score_atlas = jnp.where(s_hi > 0, s_hi + 1000.0, s_lo)
+        score_atlas = _nms3(score_atlas)
     m10_img, m01_img = ic_angle_fields(atlas)
     blur = im.gaussian_blur(atlas, 7, 2.0)
 
     # ---- per-level candidate selection (top-k stays per level: quotas)
     feats_xy, feats_lvl, feats_score, yx_atlas = [], [], [], []
     for l, ((lh, lw), y0, quota) in enumerate(zip(shapes, offs, quotas)):
-        score = lax.dynamic_slice(score_atlas, (y0, 0), (lh, lw))
+        if use_pallas_fast:
+            score = level_scores[l]
+        else:
+            score = lax.dynamic_slice(score_atlas, (y0, 0), (lh, lw))
         score = _border_mask(score, _EDGE_MARGIN)
         yx, sc = _cell_candidates(score, quota)
         scale_back = cfg.scale_factor ** l

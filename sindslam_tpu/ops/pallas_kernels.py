@@ -282,3 +282,98 @@ def cc_labels_pallas(seed: jnp.ndarray, mask: jnp.ndarray,
         interpret=interpret,
     )(pad(seed), pad(mask), pad(labels, val=-1))
     return out[:h, :w]
+
+
+_FAST_RING_OFFS = [(-3, 0), (-3, 1), (-2, 2), (-1, 3), (0, 3), (1, 3),
+                   (2, 2), (3, 1), (3, 0), (3, -1), (2, -2), (1, -3),
+                   (0, -3), (-1, -3), (-2, -2), (-3, -1)]
+
+
+def _shift_k(x, dy: int, dx: int, true_h: int, true_w: int):
+    """Arbitrary-offset shift with replicate borders inside the true region
+    (compose the single-step border-aware _shift repeatedly is wasteful for
+    |d|=3; roll once then clamp with iota masks against the source edge)."""
+    out = x
+    if dy != 0:
+        out = pltpu.roll(out, (-dy) % x.shape[0], 0)
+    if dx != 0:
+        out = pltpu.roll(out, (-dx) % x.shape[1], 1)
+    rows = lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    cols = lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    # positions whose source row/col fell outside [0, true) read garbage
+    # from the wrap — callers mask those pixels out (FAST uses a 19 px
+    # border margin downstream), so just flag in-bounds here
+    src_r = rows + dy
+    src_c = cols + dx
+    inb = ((src_r >= 0) & (src_r < true_h) & (src_c >= 0) & (src_c < true_w))
+    return out, inb
+
+
+def _make_fast_kernel(true_h: int, true_w: int, min_th: float, ini_th: float):
+    """FAST-9/16 max-margin score + 3x3 NMS + high-threshold priority mix,
+    fused in VMEM. The XLA formulation materializes a (24, H, W) ring stack
+    plus 16 min-chains through HBM (~6 ms on the ORB atlas); here the ring
+    differences are recomputed from rolls on the fly, so the live set stays
+    at ~5 level-sized arrays."""
+
+    def kernel(img_ref, out_ref):
+        img = img_ref[:]
+        shape = img.shape
+        rows = lax.broadcasted_iota(jnp.int32, shape, 0)
+        cols = lax.broadcasted_iota(jnp.int32, shape, 1)
+        in_img = (rows < true_h) & (cols < true_w)
+        NEG = jnp.float32(-1e9)
+
+        shifted = []
+        for dy, dx in _FAST_RING_OFFS:
+            s, inb = _shift_k(img, dy, dx, true_h, true_w)
+            # out-of-image ring samples read the center value (margin
+            # pixels are discarded downstream anyway)
+            shifted.append(jnp.where(inb, s, img))
+
+        best_b = NEG
+        best_d = NEG
+        for k in range(16):
+            wb = shifted[k] - img
+            wd = img - shifted[k]
+            for j in range(1, 9):
+                s = shifted[(k + j) % 16]
+                wb = jnp.minimum(wb, s - img)
+                wd = jnp.minimum(wd, img - s)
+            best_b = jnp.maximum(best_b, wb)
+            best_d = jnp.maximum(best_d, wd)
+        score = jnp.maximum(best_b, best_d)
+        score = jnp.where((score > min_th) & in_img, score, 0.0)
+        # high-threshold corners outrank low-threshold fallbacks
+        score = jnp.where(score > ini_th, score + 1000.0, score)
+
+        # 3x3 NMS: keep pixels that equal their neighborhood max
+        m = score
+        for dy, dx in [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1),
+                       (1, -1), (1, 0), (1, 1)]:
+            s, inb = _shift_k(score, dy, dx, true_h, true_w)
+            m = jnp.maximum(m, jnp.where(inb, s, 0.0))
+        out_ref[:] = jnp.where((score >= m) & in_img, score, 0.0)
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("min_th", "ini_th", "interpret"))
+def fast_nms_pallas(img: jnp.ndarray, min_th: float, ini_th: float,
+                    interpret: bool = False) -> jnp.ndarray:
+    """FAST-9/16 score + priority mix + 3x3 NMS for one pyramid level."""
+    h, w = img.shape
+    hp, wp = _round_up(h, 8), _round_up(w, 128)
+    imgp = jnp.pad(img, ((0, hp - h), (0, wp - w)))
+    kernel = _make_fast_kernel(h, w, float(min_th), float(ini_th))
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(imgp)
+    return out[:h, :w]

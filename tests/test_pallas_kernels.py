@@ -95,3 +95,22 @@ def test_cc_labels_pallas_binary_blobs():
     assert len(ids) == 3 and 0 not in ids
     assert (out[4:10, 4:12] == out[6, 6]).all()
     assert (out[20:28, 25:35] == out[22, 30]).all()
+
+
+def test_fast_nms_pallas_interpret_parity():
+    """The fused FAST+NMS kernel must match the XLA formulation on the
+    region the extractor keeps (19 px border margin)."""
+    import numpy as np
+    from sindslam_tpu.frontend.orb import _nms3, fast_score_map
+    from sindslam_tpu.ops.pallas_kernels import fast_nms_pallas
+
+    rng = np.random.default_rng(4)
+    img = jnp.asarray((rng.random((96, 130)) * 255).astype(np.float32))
+    min_th, ini_th = 7.0, 20.0
+    s_lo = fast_score_map(img, min_th)
+    s_hi = jnp.where(s_lo > ini_th, s_lo, 0.0)
+    ref = np.asarray(_nms3(jnp.where(s_hi > 0, s_hi + 1000.0, s_lo)))
+    got = np.asarray(fast_nms_pallas(img, min_th, ini_th, interpret=True))
+    m = 19
+    np.testing.assert_allclose(got[m:-m, m:-m], ref[m:-m, m:-m],
+                               rtol=0, atol=1e-4)
