@@ -86,12 +86,20 @@ class SlamSystem:
         frame = build_frame(feats, depth, self.cam, timestamp)
         return self.track_frame(frame, timestamp)
 
-    def track_frame(self, frame: FrameData, timestamp: float
-                    ) -> Tuple[np.ndarray, bool]:
+    def track_frame(self, frame: FrameData, timestamp: float,
+                    prefetch=None) -> Tuple[np.ndarray, bool]:
+        """Track one frame. ``prefetch``, if given, is called between the
+        tracking dispatch and its (blocking) readback — the driver passes a
+        callback that dispatches the NEXT frame's front-end, so its ~28 ms
+        of device compute runs while the host waits on / processes this
+        frame's results (the reference's tracking/detection thread overlap,
+        done with async dispatch instead of threads)."""
         self._frame_count += 1
         is_kf = False
         if not self.map.keyframes:
             self._initialize(frame, timestamp)
+            if prefetch is not None:
+                prefetch()
             return self.Tcw.copy(), True
 
         # 1 + 2) one fused device dispatch: motion-model tracking AND local-map
@@ -107,6 +115,8 @@ class SlamSystem:
                               frame, jnp.asarray(Tcw_pred),
                               pos, desc, ok, self.cam, self.tcfg,
                               self.tcfg.search_radius_fine)
+        if prefetch is not None:   # overlap next front-end with the readback
+            prefetch()
         # ONE device->host transfer for the whole step result
         poses, counts, out_idx, flags = unpack_track_out(
             np.asarray(out.packed), P)

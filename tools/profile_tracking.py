@@ -58,6 +58,50 @@ def run(label):
           f"(x{len(t_kf)})", flush=True)
 
 
+def run_pipelined(label):
+    """Driver-style loop: next frontend dispatched between the tracking
+    dispatch and its readback (prefetch overlap)."""
+    slam = SlamSystem(cfg)
+    state = init_state(cfg, im.rgb_to_gray(jnp.asarray(frames[0][0])))
+    outs = []
+    t0 = time.perf_counter()
+    pending = None
+    i = 0
+    times = []
+    while pending is not None or i < len(frames):
+        tf = time.perf_counter()
+        if pending is None:
+            rgb, depth, _d, _p, ts = frames[i]
+            i += 1
+            out, state = frontend_step(jnp.asarray(rgb), jnp.asarray(depth),
+                                       state, cfg)
+            pending = (out, ts)
+        out, ts = pending
+        pending = None
+        nxt = frames[i] if i < len(frames) else None
+        if nxt is not None:
+            i += 1
+
+        def prefetch():
+            nonlocal pending, state
+            if nxt is None:
+                return
+            rgb2, depth2, _d2, _p2, ts2 = nxt
+            out2, state2 = frontend_step(jnp.asarray(rgb2),
+                                         jnp.asarray(depth2), state, cfg)
+            pending = (out2, ts2)
+            state = state2
+
+        frame = frame_from_frontend(out, ts)
+        slam.track_frame(frame, ts, prefetch=prefetch)
+        if pending is None:
+            prefetch()
+        times.append(time.perf_counter() - tf)
+    print(f"[{label}] pipelined {1000*np.mean(times):8.1f} ms/frame "
+          f"(worst {1000*np.max(times):.1f})", flush=True)
+
+
 run("warmup")
 run("steady")
-run("steady2")
+run_pipelined("pipelined")
+run_pipelined("pipelined2")
