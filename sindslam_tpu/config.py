@@ -100,8 +100,8 @@ class FlowConfig:
     # warps (each warp at full working res is the most expensive gather)
     outer_iterations_fine: int = 2
     n_fine_levels: int = 2
-    inner_iterations: int = 6  # linearization updates per outer (in-kernel)
-    solver_iterations: int = 10  # red-black relaxation sweeps per inner
+    inner_iterations: int = 5  # linearization updates per outer (in-kernel)
+    solver_iterations: int = 8   # red-black relaxation sweeps per inner
     sor_omega: float = 1.9
     working_scale: float = 0.6  # flow computed at 0.6x then upscaled
     # Working-resolution canvas (0.6 * 640x480). Static for XLA.
