@@ -89,7 +89,11 @@ class FlowConfig:
 
     alpha: float = 0.197       # smoothness weight
     gamma: float = 50.0        # gradient-constancy weight
-    pyramid_scale: float = 0.8
+    # The reference CUDA solver uses scale 0.8 with 77 cheap outer warps; on
+    # TPU each level pays fixed per-iteration costs, and a 0.65 pyramid with
+    # the strong VMEM inner solver measured both FASTER (13.2 -> 9.9 ms) and
+    # more accurate (EPE mean 1.35 -> 1.17 px at 23 px motion) than 0.8.
+    pyramid_scale: float = 0.65
     n_levels: int = 10         # pyramid depth cap
     # TPU cost structure: each outer iteration pays one full-image gather
     # (the warp); inner iterations and SOR sweeps run inside one VMEM-resident
