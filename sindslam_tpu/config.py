@@ -107,6 +107,11 @@ class FlowConfig:
     inner_iterations: int = 5  # linearization updates per outer (in-kernel)
     solver_iterations: int = 8   # red-black relaxation sweeps per inner
     sor_omega: float = 1.9
+    # Large-motion fallback pre-test (flow_with_fallback): the n->n-2 solve
+    # pauses after this pyramid level (0 = finest) for the magnitude test;
+    # only the chosen target frame gets the expensive fine levels. 2 keeps
+    # the pre-test at roughly the cost of levels >= 122x162 at working res.
+    fallback_pretest_level: int = 2
     working_scale: float = 0.6  # flow computed at 0.6x then upscaled
     # Working-resolution canvas (0.6 * 640x480). Static for XLA.
     working_width: int = 384

@@ -46,6 +46,14 @@ def _flow_fn(gray_a, gray_b, cfg: FlowConfig):
     return flow_ops.flow_at_working_scale(gray_a, gray_b, cfg)
 
 
+@functools.partial(jax.jit, static_argnames=("fcfg", "dcfg"))
+def _flow_fallback_fn(gray, gray_m1, gray_m2, valid,
+                      fcfg: FlowConfig, dcfg: DynaConfig):
+    return flow_ops.flow_with_fallback(
+        gray, gray_m1, gray_m2, valid, fcfg,
+        dcfg.large_motion_flow_px, dcfg.large_motion_frac)
+
+
 @functools.partial(jax.jit, static_argnames=("cam", "cfg"))
 def _geometry_fn(depth, prev_labels, cam: CameraConfig, cfg: DynaConfig):
     """k-means + edges + RAG merge (the 'geometry branch')."""
@@ -105,9 +113,15 @@ class DynaDetector:
             self._frame_idx = 1
             return mask, rr.label_img
 
-        # ---- flow: n -> n-2 preferred, n -> n-1 on large motion (or frame 1)
-        ref_gray = self._gray_m2 if self._gray_m2 is not None else self._gray_m1
-        u, v = _flow_fn(gray, ref_gray, cfg.flow)
+        # ---- flow: n -> n-2 preferred, n -> n-1 on large motion (or frame 1).
+        # The in-graph coarse pre-test picks the target frame BEFORE the
+        # expensive fine levels run (see flow.flow_with_fallback), so there
+        # is no host-side re-solve anymore.
+        if self._gray_m2 is not None:
+            u, v, _lm = _flow_fallback_fn(gray, self._gray_m1, self._gray_m2,
+                                          valid, cfg.flow, cfg.dyna)
+        else:
+            u, v = _flow_fn(gray, self._gray_m1, cfg.flow)
 
         # ---- geometry branch
         kml, er, rr = _geometry_fn(depth_m, self._prev_labels, self.cam, cfg.dyna)
@@ -119,13 +133,6 @@ class DynaDetector:
         self._key, k2 = jax.random.split(self._key)
         fm, fu = _mask_fn(u, v, wmap, valid, self._prev_high, rr.label_img,
                           cfg.dyna, k2, depth_m=depth_m)
-
-        if bool(fm.large_motion) and self._gray_m2 is not None:
-            # reference fallback: recompute against the nearer frame n-1
-            u, v = _flow_fn(gray, self._gray_m1, cfg.flow)
-            self._key, k3 = jax.random.split(self._key)
-            fm, fu = _mask_fn(u, v, wmap, valid, self._prev_high, rr.label_img,
-                              cfg.dyna, k3, depth_m=depth_m)
 
         mask = fu.dyna_mask
 

@@ -82,24 +82,14 @@ def frontend_step(
     gray = im.rgb_to_gray(rgb)
     valid = (depth_m > 0.05) & (depth_m <= cfg.dyna.max_depth_m)
 
-    # flow n -> n-2 first; if the 30th-percentile sampled flow exceeds ~10 px
-    # (i.e. the fraction of pixels below the threshold drops under
-    # large_motion_frac), recompute against the nearer frame n-1 (reference
-    # DynaDetect.cc:1086-1131). The fallback lives INSIDE the graph as a
-    # lax.cond: the second solve only executes when triggered.
-    u, v = flow_ops.flow_at_working_scale(gray, state.gray_m2, cfg.flow)
-    step = cfg.dyna.sample_grid_step
-    mag_s = jnp.sqrt(u[::step, ::step] ** 2 + v[::step, ::step] ** 2)
-    val_s = valid[::step, ::step]
-    n_ok = jnp.sum(val_s) + 1e-9
-    frac_below = (jnp.sum((mag_s <= cfg.dyna.large_motion_flow_px) & val_s)
-                  / n_ok)
-    large_motion = frac_below < cfg.dyna.large_motion_frac
-    u, v = jax.lax.cond(
-        large_motion,
-        lambda _: flow_ops.flow_at_working_scale(gray, state.gray_m1, cfg.flow),
-        lambda _: (u, v),
-        None)
+    # flow n -> n-2 preferred; large-motion fallback to n -> n-1 (reference
+    # DynaDetect.cc:1086-1131). The magnitude test runs after only the
+    # COARSE pyramid levels, so each frame pays ~ONE full solve whichever
+    # branch the in-graph lax.cond takes (round 2 solved the flow twice on
+    # 93% of benchmark frames).
+    u, v, large_motion = flow_ops.flow_with_fallback(
+        gray, state.gray_m1, state.gray_m2, valid, cfg.flow,
+        cfg.dyna.large_motion_flow_px, cfg.dyna.large_motion_frac)
 
     # geometry branch (dataflow-parallel with the flow branch inside XLA)
     kml, _centers = seg_by_kmeans(depth_m, cfg.camera, cfg.dyna, state.prev_labels)

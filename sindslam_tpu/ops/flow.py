@@ -232,32 +232,32 @@ def pyramid_shapes(h: int, w: int, scale: float, n_levels: int,
     return shapes
 
 
-def variational_flow(
-    img1_gray: jnp.ndarray, img2_gray: jnp.ndarray, cfg: FlowConfig,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Dense flow img1 -> img2 on (H, W) grayscale in [0, 255].
+def _preprocess(img_gray: jnp.ndarray) -> jnp.ndarray:
+    """Normalize to [0, 1] + slight presmoothing, as Brox prescribes."""
+    return im.gaussian_blur(img_gray.astype(jnp.float32) / 255.0, 5, 0.8)
 
-    Returns (u, v) at the input resolution. The full coarse-to-fine solve is
-    one statically-shaped XLA graph (jit this function).
-    """
-    h, w = img1_gray.shape
-    i1 = img1_gray.astype(jnp.float32) / 255.0
-    i2 = img2_gray.astype(jnp.float32) / 255.0
-    # slight presmoothing, as Brox prescribes (sigma ~0.8)
-    i1 = im.gaussian_blur(i1, 5, 0.8)
-    i2 = im.gaussian_blur(i2, 5, 0.8)
 
-    shapes = pyramid_shapes(h, w, cfg.pyramid_scale, cfg.n_levels)
-    pyr1 = [i1]
-    pyr2 = [i2]
+def _build_pyramid(i1: jnp.ndarray, shapes: List[Tuple[int, int]]
+                   ) -> List[jnp.ndarray]:
+    """Gaussian pyramid over the static level shapes (finest first).
+    ``i1`` must already be preprocessed (see :func:`_preprocess`)."""
+    pyr = [i1]
     for (nh, nw) in shapes[1:]:
-        pyr1.append(im.resize_bilinear(im.gaussian_blur(pyr1[-1], 5, 0.8), (nh, nw)))
-        pyr2.append(im.resize_bilinear(im.gaussian_blur(pyr2[-1], 5, 0.8), (nh, nw)))
+        pyr.append(im.resize_bilinear(im.gaussian_blur(pyr[-1], 5, 0.8),
+                                      (nh, nw)))
+    return pyr
 
-    ch, cw = shapes[-1]
-    u = jnp.zeros((ch, cw), jnp.float32)
-    v = jnp.zeros((ch, cw), jnp.float32)
-    for li in range(len(shapes) - 1, -1, -1):
+
+def _solve_pyramid_range(
+    pyr1: List[jnp.ndarray], pyr2: List[jnp.ndarray],
+    u: jnp.ndarray, v: jnp.ndarray,
+    cfg: FlowConfig, start_level: int, end_level: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Coarse-to-fine over levels ``start_level`` down to ``end_level``
+    (inclusive; level 0 = finest). ``u, v`` enter at any coarser-or-equal
+    shape and are upsampled (with magnitude rescale) into each level."""
+    shapes = [p.shape for p in pyr1]
+    for li in range(start_level, end_level - 1, -1):
         lh, lw = shapes[li]
         if (u.shape[0], u.shape[1]) != (lh, lw):
             su = lw / u.shape[1]
@@ -270,9 +270,99 @@ def variational_flow(
     return u, v
 
 
+def variational_flow(
+    img1_gray: jnp.ndarray, img2_gray: jnp.ndarray, cfg: FlowConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dense flow img1 -> img2 on (H, W) grayscale in [0, 255].
+
+    Returns (u, v) at the input resolution. The full coarse-to-fine solve is
+    one statically-shaped XLA graph (jit this function).
+    """
+    h, w = img1_gray.shape
+    shapes = pyramid_shapes(h, w, cfg.pyramid_scale, cfg.n_levels)
+    pyr1 = _build_pyramid(_preprocess(img1_gray), shapes)
+    pyr2 = _build_pyramid(_preprocess(img2_gray), shapes)
+
+    ch, cw = shapes[-1]
+    u = jnp.zeros((ch, cw), jnp.float32)
+    v = jnp.zeros((ch, cw), jnp.float32)
+    return _solve_pyramid_range(pyr1, pyr2, u, v, cfg, len(shapes) - 1, 0)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def variational_flow_jit(img1_gray, img2_gray, cfg: FlowConfig):
     return variational_flow(img1_gray, img2_gray, cfg)
+
+
+def flow_with_fallback(
+    gray_full: jnp.ndarray,
+    gray_m1_full: jnp.ndarray,
+    gray_m2_full: jnp.ndarray,
+    valid_full: jnp.ndarray,
+    cfg: FlowConfig,
+    large_motion_flow_px: float,
+    large_motion_frac: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Flow n->n-2 with the reference's large-motion fallback to n->n-1
+    (``src/DynaDetect.cc:1086-1131``) — at ~ONE full solve per frame.
+
+    The reference (and the round-2 pipeline) solves the FULL n->n-2 flow,
+    tests its magnitude histogram, and on large motion solves the full
+    n->n-1 flow from scratch: two complete solves on fast frames. Here the
+    decision is taken after only the COARSE pyramid levels of the n->n-2
+    solve (level ``cfg.fallback_pretest_level`` and up — a few percent of
+    the total cost): coarse-to-fine exists precisely because large
+    displacements are already resolved at coarse scale, so the magnitude
+    test is just as decisive there. Then exactly one of the two branches of
+    a ``lax.cond`` runs:
+
+      * small motion  -> continue the SAME n->n-2 solve down the remaining
+        fine levels (the coarse work is reused, nothing is wasted);
+      * large motion  -> full n->n-1 solve (its coarse levels cost the same
+        few percent that the pre-test did).
+
+    Returns ``(u_full, v_full, large_motion)`` at full resolution.
+    """
+    H, W = gray_full.shape
+    wh, ww = cfg.working_height, cfg.working_width
+    g = _preprocess(im.resize_bilinear(gray_full, (wh, ww)))
+    g_m2 = _preprocess(im.resize_bilinear(gray_m2_full, (wh, ww)))
+
+    shapes = pyramid_shapes(wh, ww, cfg.pyramid_scale, cfg.n_levels)
+    top = len(shapes) - 1
+    k = min(max(cfg.fallback_pretest_level, 0), top)
+    pyr_cur = _build_pyramid(g, shapes)
+    pyr_m2 = _build_pyramid(g_m2, shapes)
+
+    ch, cw = shapes[-1]
+    u0 = jnp.zeros((ch, cw), jnp.float32)
+    v0 = jnp.zeros((ch, cw), jnp.float32)
+    u_c, v_c = _solve_pyramid_range(pyr_cur, pyr_m2, u0, v0, cfg, top, k)
+
+    # Magnitude test at the pre-test level, in FULL-resolution pixels
+    # (threshold semantics match the reference's full-res 10 px histogram
+    # test; the sampled-grid decimation is unnecessary at coarse scale).
+    lh, lw = shapes[k]
+    mag = jnp.sqrt((u_c * (W / lw)) ** 2 + (v_c * (H / lh)) ** 2)
+    val_c = im.resize_bilinear(valid_full.astype(jnp.float32), (lh, lw)) > 0.5
+    n_ok = jnp.sum(val_c) + 1e-9
+    frac_below = jnp.sum((mag <= large_motion_flow_px) & val_c) / n_ok
+    large_motion = frac_below < large_motion_frac
+
+    def _continue_m2(uv):
+        u, v = uv
+        return _solve_pyramid_range(pyr_cur, pyr_m2, u, v, cfg, k - 1, 0) \
+            if k > 0 else (u, v)
+
+    def _solve_m1(_uv):
+        g_m1 = _preprocess(im.resize_bilinear(gray_m1_full, (wh, ww)))
+        pyr_m1 = _build_pyramid(g_m1, shapes)
+        return _solve_pyramid_range(pyr_cur, pyr_m1, u0, v0, cfg, top, 0)
+
+    u, v = jax.lax.cond(large_motion, _solve_m1, _continue_m2, (u_c, v_c))
+    u_full = im.resize_bilinear(u, (H, W)) * (W / ww)
+    v_full = im.resize_bilinear(v, (H, W)) * (H / wh)
+    return u_full, v_full, large_motion
 
 
 def flow_at_working_scale(

@@ -196,12 +196,7 @@ class KeyFrameDatabase:
         (the reference's DetectLoopCandidates/DetectRelocalizationCandidates
         shared-word prefilter + score)."""
         sig = signature(word_ids, self.vocab.n_words)
-        shared: Dict[int, int] = {}
-        for w in sig.words:
-            for kf in self.inverted.get(int(w), []):
-                if exclude and kf in exclude:
-                    continue
-                shared[kf] = shared.get(kf, 0) + 1
+        shared = self._shared_words(sig, exclude)
         if not shared:
             return []
         max_common = max(shared.values())
@@ -210,3 +205,74 @@ class KeyFrameDatabase:
         scored = [(kf, l1_score(sig, self.signatures[kf])) for kf in cands]
         scored.sort(key=lambda x: -x[1])
         return scored[:top]
+
+    def _shared_words(self, sig: BowSignature, exclude: Optional[set]
+                      ) -> Dict[int, int]:
+        shared: Dict[int, int] = {}
+        for w in sig.words:
+            for kf in self.inverted.get(int(w), []):
+                if exclude and kf in exclude:
+                    continue
+                shared[kf] = shared.get(kf, 0) + 1
+        return shared
+
+    def score_between(self, word_ids: np.ndarray, kf_id: int) -> float:
+        """L1 similarity between a query and one indexed keyframe."""
+        if kf_id not in self.signatures:
+            return 0.0
+        return l1_score(signature(word_ids, self.vocab.n_words),
+                        self.signatures[kf_id])
+
+    def query_accumulated(self, word_ids: np.ndarray, covis_of,
+                          exclude: Optional[set] = None,
+                          min_common_frac: float = 0.8,
+                          rel_acc_frac: float = 0.75,
+                          min_score: float = 0.0,
+                          ) -> List[Tuple[int, float]]:
+        """Covisibility-group accumulated candidate scoring, matching the
+        reference's ``DetectRelocalizationCandidates`` /
+        ``DetectLoopCandidates`` (``KeyFrameDatabase.cc:199-310``):
+
+        1. keyframes sharing words with the query; only those with
+           > ``min_common_frac`` * max common words are scored (L1);
+        2. scores accumulate over each candidate's covisibility group
+           (``covis_of(kf_id)`` -> its ~10 best covisible keyframe ids) —
+           a place revisited from a slightly different view still wins
+           because its neighbors corroborate it;
+        3. each group contributes its best-scoring member; groups with
+           accumulated score >= ``rel_acc_frac`` * best group survive
+           (the reference's 0.75f relative cutoff).
+
+        ``min_score`` is the DetectLoopCandidates reference-score gate
+        (similarity to the current keyframe's own covisible neighbors).
+        """
+        sig = signature(word_ids, self.vocab.n_words)
+        shared = self._shared_words(sig, exclude)
+        if not shared:
+            return []
+        min_common = min_common_frac * max(shared.values())
+        scores = {kf: l1_score(sig, self.signatures[kf])
+                  for kf, c in shared.items() if c > min_common}
+        scores = {kf: s for kf, s in scores.items() if s >= min_score}
+        if not scores:
+            return []
+        groups: List[Tuple[float, int]] = []
+        for kf, s in scores.items():
+            acc, best_kf, best_s = s, kf, s
+            for nb in covis_of(kf):
+                nb_s = scores.get(nb)
+                if nb_s is None:
+                    continue
+                acc += nb_s
+                if nb_s > best_s:
+                    best_s, best_kf = nb_s, nb
+            groups.append((acc, best_kf))
+        best_acc = max(a for a, _ in groups)
+        out: List[Tuple[int, float]] = []
+        seen: set = set()
+        for acc, kf in groups:
+            if acc >= rel_acc_frac * best_acc and kf not in seen:
+                seen.add(kf)
+                out.append((kf, scores[kf]))
+        out.sort(key=lambda x: -x[1])
+        return out

@@ -89,18 +89,53 @@ class LocalMap:
         return ids
 
     def cull_points(self, current_kf_id: int) -> int:
-        """Found-ratio + early-observation cull (LocalMapping.cc:170 policy:
-        drop points matched in <25% of the frames that should see them, or
-        points older than 2 KFs with <=2 observations)."""
+        """Recent-point cull, matching ``LocalMapping::MapPointCulling``
+        (reference ``LocalMapping.cc:170-205``, RGB-D ``cnThObs = 3``):
+
+        only RECENTLY created points (the reference's
+        ``mlpRecentAddedMapPoints``, i.e. age <= 3 keyframes here) are
+        tested; within that window
+
+        - found-ratio < 0.25 culls UNCONDITIONALLY (no n_obs override —
+          round-2's ``n_obs < 3`` guard protected exactly the points the
+          ratio cull is supposed to catch), and
+        - age >= 2 with <= 3 keyframe observations culls (a surviving point
+          must be corroborated by 4+ keyframes within its first two).
+
+        Points older than the window have graduated and are never ratio-
+        culled again (the reference erases them from the recent list).
+        """
+        age = current_kf_id - self.created_kf
+        recent = self.valid & (age <= 3)
         ratio = self.n_found / np.maximum(self.n_visible, 1)
-        young = (current_kf_id - self.created_kf) >= 2
-        weak = young & (self.n_obs <= 2)
-        bad = self.valid & ((ratio < 0.25) | weak)
-        # never cull points with many observations
-        bad &= self.n_obs < 3
+        bad = recent & (ratio < 0.25)
+        bad |= recent & (age >= 2) & (self.n_obs <= 3)
         n = int(bad.sum())
         self.valid[bad] = False
+        if n:
+            self._compact_obs()
         return n
+
+    def _compact_obs(self) -> None:
+        """Drop observation pairs of dead points / culled keyframes so
+        ``_obs_pid``/``_obs_kf`` stay bounded by the live map (round-2 grew
+        them monotonically — a leak at tens of thousands of keyframes)."""
+        keep = self.valid[self._obs_pid]
+        if self._culled_kf_mask is not None:
+            keep &= ~self._culled_kf_mask[self._obs_kf]
+        if not keep.all():
+            self._obs_pid = self._obs_pid[keep]
+            self._obs_kf = self._obs_kf[keep]
+
+    @property
+    def _culled_kf_mask(self) -> Optional[np.ndarray]:
+        if not self.keyframes:
+            return None
+        m = np.zeros(len(self.keyframes), bool)
+        for kf in self.keyframes:
+            if kf.culled:
+                m[kf.kf_id] = True
+        return m
 
     def fuse_duplicates(self, kf: KeyFrame, dist_m: float = 0.03,
                         max_hamming: int = 50) -> int:
@@ -161,7 +196,13 @@ class LocalMap:
             redundant = (self.n_obs[pids] >= 4).mean()
             if redundant >= redundancy:
                 kf.culled = True
+                # erase its observations (KeyFrame::SetBadFlag semantics):
+                # point observation counts drop and the flat obs pairs of
+                # the culled keyframe are compacted away
+                np.subtract.at(self.n_obs, np.unique(pids), 1)
                 n_culled += 1
+        if n_culled:
+            self._compact_obs()
         return n_culled
 
     # ---------------------------------------------------------- keyframes
@@ -210,6 +251,29 @@ class LocalMap:
                 counts[other.kf_id] = 0
         order = np.argsort(-counts, kind="stable")[:k]
         return [self.keyframes[i] for i in order if counts[i] >= min_shared]
+
+    def covisibility_matrix(self) -> np.ndarray:
+        """(K, K) shared-valid-point counts between all keyframe pairs
+        (diagonal zeroed) — the full covisibility graph in one sparse
+        matmul over the flat observation pairs. Feeds the essential-graph
+        edge selection (ref ``Optimizer::OptimizeEssentialGraph`` takes
+        covisibility edges with weight >= 100, ``Optimizer.cc:966-1004``)."""
+        K = len(self.keyframes)
+        if K == 0 or len(self._obs_pid) == 0:
+            return np.zeros((K, K), np.int32)
+        from scipy.sparse import csr_matrix
+
+        keep = self.valid[self._obs_pid]
+        pid = self._obs_pid[keep]
+        kfi = self._obs_kf[keep]
+        uniq, inv = np.unique(pid, return_inverse=True)
+        A = csr_matrix((np.ones(len(pid), np.int32), (kfi, inv)),
+                       shape=(K, len(uniq)))
+        A.sum_duplicates()
+        A.data = np.minimum(A.data, 1)     # incidence, not multiplicity
+        C = (A @ A.T).toarray().astype(np.int32)
+        np.fill_diagonal(C, 0)
+        return C
 
     # --------------------------------------------------------------- BA
 

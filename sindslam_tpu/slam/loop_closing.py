@@ -12,10 +12,13 @@ Relocalization`` (``ORB_SLAM2/src/LoopClosing.cc``, ``Tracking.cc:357``,
   a recent-keyframe exclusion (``LoopClosing::DetectLoop``);
 - loop correction: 3D-3D correspondences between the matched keyframes ->
   batched Umeyama/Horn RANSAC for the relative SE3 (the reference's
-  Sim3Solver with fixed scale for RGB-D) -> SE(3) pose-graph optimization
-  over the keyframe backbone (sequential + covisibility edges + the loop
-  edge) -> map points re-anchored to their reference keyframes
-  (``LoopClosing::CorrectLoop``).
+  Sim3Solver with fixed scale for RGB-D) -> IRLS robust refinement on the
+  inlier set (OptimizeSim3 role) -> SE(3) pose-graph optimization over the
+  ESSENTIAL GRAPH (sequential spanning backbone + covisibility edges with
+  >= 100 shared points + all previous loop edges + the new loop edge, every
+  edge with unit information weight, matching ``Optimizer::
+  OptimizeEssentialGraph``) -> map points re-anchored to their reference
+  keyframes (``LoopClosing::CorrectLoop``).
 """
 
 from __future__ import annotations
@@ -55,6 +58,29 @@ def rigid_from_pairs(pa: jnp.ndarray, pb: jnp.ndarray, w: jnp.ndarray
     R = jnp.matmul(jnp.matmul(Vt.T, D, precision=_HI), U.T, precision=_HI)
     t = cb - R @ ca
     T = jnp.eye(4).at[:3, :3].set(R).at[:3, 3].set(t)
+    return T
+
+
+@functools.partial(jax.jit, static_argnames=("n_iters",))
+def refine_rigid_irls(pa: jnp.ndarray, pb: jnp.ndarray, inl: jnp.ndarray,
+                      T0: jnp.ndarray, n_iters: int = 8,
+                      delta: float = 0.05) -> jnp.ndarray:
+    """Robust iterative refinement of a rigid transform on the inlier set
+    (the role of the reference's ``Optimizer::OptimizeSim3``,
+    ``Optimizer.cc:1046`` — iterative robust refinement after the RANSAC
+    solve, with scale fixed as the reference does for RGB-D). Each round
+    re-weights residuals with Huber weights and re-solves the weighted Horn
+    problem — IRLS on the 3D-3D alignment, which for this objective is the
+    Gauss-Newton fixed point."""
+    def step(T, _):
+        proj = jnp.matmul(pa, T[:3, :3].T, precision=_HI) + T[:3, 3]
+        r = jnp.linalg.norm(proj - pb, axis=-1)
+        w = jnp.where(inl, jnp.minimum(1.0, delta / jnp.maximum(r, 1e-9)), 0.0)
+        T_new = rigid_from_pairs(pa, pb, w)
+        ok = jnp.all(jnp.isfinite(T_new))
+        return jnp.where(ok, T_new, T), None
+
+    T, _ = jax.lax.scan(step, T0, None, length=n_iters)
     return T
 
 
@@ -104,6 +130,9 @@ class Relocalizer:
         # repetitive texture.
         self._consistent_groups: List[Tuple[set, int]] = []
         self.consistency_th = 3
+        # accepted loop pairs (kf_id, kf_id) — previous loop edges re-enter
+        # every later essential graph (ref KeyFrame::mspLoopEdges)
+        self._loop_edges: List[Tuple[int, int]] = []
 
     # ------------------------------------------------------------ vocab
 
@@ -144,6 +173,15 @@ class Relocalizer:
 
     # ----------------------------------------------------- relocalization
 
+    def _covis_of(self, system):
+        """kf_id -> ~10 best covisible keyframe ids, for the accumulated
+        candidate scoring (KeyFrameDatabase.cc group accumulation)."""
+        def covis(kf_id: int):
+            kf = system.map.keyframes[kf_id]
+            return [k.kf_id for k in
+                    system.map.covisible_keyframes(kf, k=10, min_shared=5)]
+        return covis
+
     def relocalize(self, frame: FrameData, system) -> Optional[Tuple[np.ndarray, int]]:
         """Try to relocalize a lost frame. Returns (Tcw, n_inliers) or None."""
         if self.vocab is None or self.db is None:
@@ -151,7 +189,11 @@ class Relocalizer:
         desc = np.asarray(frame.desc)
         valid = np.asarray(frame.valid)
         words = self.vocab.quantize(jnp.asarray(desc), jnp.asarray(valid))
-        cands = self.db.query(words, top=3)
+        # accumulated covisibility-group scoring with the 0.75 relative
+        # cutoff (ref KeyFrameDatabase::DetectRelocalizationCandidates,
+        # KeyFrameDatabase.cc:199-310) instead of a plain top-3 — stronger
+        # candidate selection in repetitive scenes.
+        cands = self.db.query_accumulated(words, self._covis_of(system))[:5]
         for kf_id, score in cands:
             kf = system.map.keyframes[kf_id]
             m = matching.match_mutual_nn(
@@ -191,10 +233,17 @@ class Relocalizer:
         if words is None:
             return False
         recent = {k.kf_id for k in system.map.keyframes[-min_gap:]}
-        covis = {k.kf_id for k in system.map.covisible_keyframes(kf, k=20,
-                                                                 min_shared=10)}
-        cands = self.db.query(words, exclude=recent | covis, top=3)
-        cands = [(cid, s) for cid, s in cands if s >= min_score]
+        covis_kfs = system.map.covisible_keyframes(kf, k=20, min_shared=10)
+        covis = {k.kf_id for k in covis_kfs}
+        # reference-score gate (DetectLoopCandidates, LoopClosing.cc:141):
+        # a loop candidate must score at least as high as the current
+        # keyframe scores against its own covisible neighbors
+        ref_scores = [self.db.score_between(words, k.kf_id)
+                      for k in covis_kfs if k.kf_id in self.db.signatures]
+        gate = max(min_score, min(ref_scores) if ref_scores else min_score)
+        cands = self.db.query_accumulated(
+            words, self._covis_of(system), exclude=recent | covis,
+            min_score=gate)[:3]
         if not cands:
             self._consistent_groups = []
             return False
@@ -251,6 +300,8 @@ class Relocalizer:
         n_inl = int(jnp.sum(inl))
         if n_inl < min_inliers:
             return False
+        # iterative robust refinement on the inlier set (OptimizeSim3 role)
+        T_rel = refine_rigid_irls(jnp.asarray(pa), jnp.asarray(pb), inl, T_rel)
         # loop constraint: points_cand = T_rel points_kf
         # => Tcw_cand_corrected = T_rel @ Tcw_kf, so edge T_kf_cand:
         T_rel_np = np.asarray(T_rel)
@@ -258,25 +309,62 @@ class Relocalizer:
         return True
 
     def _apply_pose_graph(self, system, kf: KeyFrame, cand: KeyFrame,
-                          T_rel: np.ndarray) -> None:
+                          T_rel: np.ndarray, min_covis_weight: int = 100
+                          ) -> None:
+        """Essential-graph loop correction (ref ``Optimizer::
+        OptimizeEssentialGraph``, ``Optimizer.cc:781-1040``). The graph is
+        built from FOUR edge families, all with unit information weight
+        exactly as the reference (g2o gets identity ``matLambda`` for every
+        edge — loop edges are not specially weighted; the correction power
+        comes from the graph STRUCTURE):
+
+        1. the spanning backbone — here the sequential keyframe chain,
+           which is the reference's spanning tree for an RGB-D trajectory
+           (each keyframe's parent is its covisibility predecessor);
+        2. ALL previous loop edges (``mspLoopEdges``), measured from the
+           current estimates they were corrected to;
+        3. covisibility edges with >= ``min_covis_weight`` shared points
+           (ref ``minFeat = 100``) — on revisits/branches these route the
+           loop error along every strong view overlap, not just the chain;
+        4. the NEW loop edge, measured by the refined RANSAC ``T_rel``.
+        """
         kfs = system.map.keyframes
         K = len(kfs)
         poses = np.stack([k.Tcw for k in kfs]).astype(np.float32)
         old_poses = poses.copy()
 
+        def rel(a: int, b: int) -> np.ndarray:
+            return poses[a] @ np.linalg.inv(poses[b])
+
         edges_i, edges_j, edges_T, edges_w = [], [], [], []
-        # sequential (spanning-tree-like) edges from current estimates
-        for a in range(K - 1):
+        edge_set = set()
+
+        def add_edge(a: int, b: int, T: np.ndarray) -> None:
+            if a == b or (min(a, b), max(a, b)) in edge_set:
+                return
+            edge_set.add((min(a, b), max(a, b)))
             edges_i.append(a)
-            edges_j.append(a + 1)
-            edges_T.append(poses[a] @ np.linalg.inv(poses[a + 1]))
+            edges_j.append(b)
+            edges_T.append(T)
             edges_w.append(1.0)
-        # the loop edge: p_cand = T_rel p_kf  =>  Tcw_cand = T_rel @ Tcw_kf,
-        # so the measured T_ij (i=cand, j=kf) = Tcw_cand inv(Tcw_kf) = T_rel
-        edges_i.append(cand.kf_id)
-        edges_j.append(kf.kf_id)
-        edges_T.append(T_rel)
-        edges_w.append(float(len(edges_i)))   # strong weight for the loop
+
+        # (4) the NEW loop edge first so no other family swallows the pair:
+        # p_cand = T_rel p_kf => Tcw_cand = T_rel @ Tcw_kf, so the measured
+        # T_ij (i=cand, j=kf) = Tcw_cand inv(Tcw_kf) = T_rel
+        add_edge(cand.kf_id, kf.kf_id, T_rel)
+        # (1) sequential spanning backbone from current estimates
+        for a in range(K - 1):
+            add_edge(a, a + 1, rel(a, a + 1))
+        # (2) previous loop edges, at their already-corrected relation
+        for (a, b) in self._loop_edges:
+            if a < K and b < K:
+                add_edge(a, b, rel(a, b))
+        # (3) strong covisibility edges
+        C = system.map.covisibility_matrix()
+        ci, cj = np.nonzero(np.triu(C >= min_covis_weight, k=1))
+        for a, b in zip(ci.tolist(), cj.tolist()):
+            add_edge(a, b, rel(a, b))
+        self._loop_edges.append((cand.kf_id, kf.kf_id))
 
         graph = PoseGraph(
             poses=jnp.asarray(poses),

@@ -372,6 +372,17 @@ class SlamSystem:
             kf_blobs[p + "valid"] = np.asarray(kf.frame.valid)
             kf_blobs[p + "depth"] = np.asarray(kf.frame.depth)
             kf_blobs[p + "ur"] = np.asarray(kf.frame.ur)
+        # persist the online-trained BoW vocabulary so loop/reloc scores are
+        # reproducible after resume (round-2 retrained from scratch on load,
+        # yielding different words — the reference's vocabulary is a file by
+        # construction, ORBvoc.txt)
+        vocab_blobs = {}
+        if self.relocalizer is not None and self.relocalizer.vocab is not None:
+            voc = self.relocalizer.vocab
+            vocab_blobs["vocab_k"] = np.array(voc.k)
+            vocab_blobs["vocab_levels"] = np.array(voc.levels)
+            for li, nodes in enumerate(voc.nodes):
+                vocab_blobs[f"vocab_nodes{li}"] = nodes
         np.savez_compressed(
             path,
             n_keyframes=np.array(len(m.keyframes)),
@@ -380,7 +391,7 @@ class SlamSystem:
             valid=m.valid[:m._next], n_obs=m.n_obs[:m._next],
             n_found=m.n_found[:m._next], n_visible=m.n_visible[:m._next],
             created_kf=m.created_kf[:m._next],
-            **kf_blobs)
+            **vocab_blobs, **kf_blobs)
 
     def load_map(self, path: str) -> None:
         """Restore a map saved by :meth:`save_map` (resume / localization)."""
@@ -388,6 +399,19 @@ class SlamSystem:
 
         data = np.load(path)
         m = self.map
+        # restore the vocabulary FIRST so re-indexing the keyframes below
+        # quantizes with the same words the saved system used
+        if self.relocalizer is not None and "vocab_k" in data:
+            from sindslam_tpu.slam.bow import KeyFrameDatabase, Vocabulary
+
+            levels = int(data["vocab_levels"])
+            vocab = Vocabulary(
+                k=int(data["vocab_k"]), levels=levels,
+                nodes=[data[f"vocab_nodes{li}"] for li in range(levels)])
+            self.relocalizer.vocab = vocab
+            self.relocalizer.db = KeyFrameDatabase(vocab)
+            self.relocalizer._pending_descs = []
+            self.relocalizer._pending_kfs = []
         n = int(data["next_point"])
         m._next = n
         m.pos[:n] = data["pos"]

@@ -175,6 +175,204 @@ def test_loop_consistency_window():
     assert reloc._consistent_groups == []
 
 
+def test_accumulated_scoring_beats_plain_topk():
+    """VERDICT r2 #7 done-criterion: on repetitive texture a decoy keyframe
+    can out-score every true-place keyframe individually; the reference's
+    covisibility-group accumulation (KeyFrameDatabase.cc:199-310) still
+    ranks the true place first because its neighbors corroborate it."""
+    rng = np.random.default_rng(11)
+    place = _random_descs(rng, 60)       # the true place appearance
+    decoy_mix = place.copy()
+    # the decoy shares slightly MORE of the query's appearance than any
+    # single true-place view (repetitive texture), but stands alone
+    corpus = np.concatenate([_perturb(place, rng) for _ in range(8)])
+    vocab = train_vocabulary(corpus, k=4, levels=3, seed=11)
+    db = KeyFrameDatabase(vocab)
+
+    def words_of(d):
+        return vocab.quantize(jnp.asarray(d), jnp.ones(len(d), bool))
+
+    # true place: 3 covisible keyframes, each a strongly-perturbed view
+    for kf_id in range(3):
+        db.add(kf_id, words_of(_perturb(place, rng, n_bits=90)))
+    # decoy: one keyframe, barely perturbed (highest single score)
+    db.add(10, words_of(_perturb(decoy_mix, rng, n_bits=2)))
+
+    q = words_of(_perturb(place, rng, n_bits=2))
+    plain = db.query(q, top=1)
+    assert plain[0][0] == 10, "decoy must win the plain query for this test"
+
+    covis = {0: [1, 2], 1: [0, 2], 2: [0, 1], 10: []}
+    acc = db.query_accumulated(q, lambda k: covis[k])
+    assert acc, "accumulated query returned nothing"
+    assert acc[0][0] in (0, 1, 2), \
+        f"accumulated scoring still picked the decoy: {acc}"
+    # the lone decoy group falls below the 0.75 relative-acc cutoff
+    assert all(k != 10 for k, _ in acc), acc
+
+
+def _out_and_back_scenario():
+    """Corridor out-and-back with a revisit: KFs 0-4 walk +x, KFs 5-9 walk
+    back so 8/9 overlap 1/0 spatially. One bad tracking step at 4->5
+    injected a drift offset carried by KFs 5-7; the revisit keyframes
+    (8, 9) snapped back to truth when tracking re-acquired the original
+    map. Edge measurements are the ODOMETRY relatives (ground-truth
+    relative motion) everywhere except the 4->5 edge, whose measurement IS
+    the bad step (consistent with the drift it created) — so a unit of
+    inconsistency lives in the cycle and the optimizer must choose where
+    to put it."""
+    K = 10
+    gt = []
+    for k in range(K):
+        T = np.eye(4, dtype=np.float32)
+        x = float(k) if k <= 4 else float(9 - k)
+        T[:3, 3] = [-x, 0, 0]      # Tcw translation = -position
+        gt.append(T)
+    gt = np.stack(gt)
+    est = gt.copy()
+    drift = np.eye(4, dtype=np.float32)
+    drift[:3, 3] = [0.0, -0.4, 0.0]
+    for k in (5, 6, 7):
+        est[k] = drift @ gt[k]
+    return gt, est, drift
+
+
+def _graph_err(poses, gt):
+    e = 0.0
+    for k in range(len(gt)):
+        d = np.asarray(se3.se3_log(jnp.asarray(
+            (poses[k] @ np.linalg.inv(gt[k]))[None].astype(np.float32))))[0]
+        e += float(np.linalg.norm(d))
+    return e
+
+
+def test_essential_graph_beats_chain_on_revisit():
+    """VERDICT r2 missing #1 done-criterion: on a branch-and-revisit
+    trajectory, chain+loop-only correction misdistributes the error (it
+    bends the already-correct revisit keyframes); covisibility edges among
+    the revisit cluster pin them to the start and squeeze the error into
+    the drifted segment where it belongs."""
+    gt, est, drift = _out_and_back_scenario()
+    K = len(gt)
+
+    def gt_rel(a, b):
+        return gt[a] @ np.linalg.inv(gt[b])
+
+    def est_rel(a, b):
+        return est[a] @ np.linalg.inv(est[b])
+
+    def build(edges):
+        ei = np.array([e[0] for e in edges], np.int32)
+        ej = np.array([e[1] for e in edges], np.int32)
+        eT = np.stack([e[2] for e in edges]).astype(np.float32)
+        return PoseGraph(
+            poses=jnp.asarray(est),
+            edge_i=jnp.asarray(ei), edge_j=jnp.asarray(ej),
+            edge_T=jnp.asarray(eT),
+            edge_w=jnp.asarray(np.ones(len(edges), np.float32)),
+            fixed=jnp.asarray(np.arange(K) == 0))
+
+    # odometry chain: true relative motion everywhere except the bad
+    # tracking step 4->5, whose measurement matches the drift it caused
+    chain = [(a, a + 1,
+              est_rel(a, a + 1) if a == 4 else gt_rel(a, a + 1))
+             for a in range(K - 1)]
+    loop = [(9, 0, gt_rel(9, 0))]
+    # covisibility edges among the spatially-overlapping revisit cluster:
+    # relative poses are accurate (both endpoints tracked against the same
+    # original map), i.e. ground-truth relations
+    covis = [(1, 8, gt_rel(1, 8)), (0, 9, gt_rel(0, 9)),
+             (1, 9, gt_rel(1, 9)), (0, 8, gt_rel(0, 8)),
+             (2, 7, gt_rel(2, 7)), (3, 6, gt_rel(3, 6))]
+
+    opt_chain = np.asarray(optimize_pose_graph(build(chain + loop), n_iters=40))
+    opt_ess = np.asarray(optimize_pose_graph(build(chain + loop + covis),
+                                             n_iters=40))
+    err_chain = _graph_err(opt_chain, gt)
+    err_ess = _graph_err(opt_ess, gt)
+    assert err_ess < 0.7 * err_chain, (err_chain, err_ess)
+    # the revisit keyframes specifically must stay near truth
+    rev_chain = sum(np.linalg.norm(opt_chain[k][:3, 3] - gt[k][:3, 3])
+                    for k in (8, 9))
+    rev_ess = sum(np.linalg.norm(opt_ess[k][:3, 3] - gt[k][:3, 3])
+                  for k in (8, 9))
+    assert rev_ess < rev_chain
+
+
+def test_apply_pose_graph_builds_essential_edges():
+    """Relocalizer._apply_pose_graph must assemble spanning + covisibility
+    + previous-loop + new-loop edges (module docstring = code, VERDICT r2
+    weak #4/hygiene)."""
+    from sindslam_tpu.config import SystemConfig
+    from sindslam_tpu.slam.frame import FrameData
+    from sindslam_tpu.slam.local_map import LocalMap
+    from sindslam_tpu.slam.loop_closing import Relocalizer
+    from sindslam_tpu.slam import pose_graph as pg_mod
+
+    cfg = SystemConfig()
+    m = LocalMap(cfg.camera, cfg.tracking)
+    rng = np.random.default_rng(5)
+    n = 120
+
+    def make_frame():
+        return FrameData(
+            xy=jnp.asarray(rng.uniform(0, 400, (n, 2)).astype(np.float32)),
+            level=jnp.zeros(n, jnp.int32), angle=jnp.zeros(n, jnp.float32),
+            desc=jnp.asarray(_random_descs(rng, n)), valid=jnp.ones(n, bool),
+            depth=jnp.full(n, 2.0, jnp.float32), ur=jnp.full(n, -1.0))
+
+    m.allocate_points(rng.uniform(-2, 2, (400, 3)), _random_descs(rng, 400), 0)
+    # KFs 0 and 3 share >=100 points (strong covisibility); 1, 2 disjoint
+    ids = [np.arange(0, 120), np.arange(120, 240), np.arange(240, 360),
+           np.arange(0, 120)]
+    for k in range(4):
+        m.insert_keyframe(make_frame(), np.eye(4, dtype=np.float32),
+                          ids[k].astype(np.int64), float(k))
+
+    C = m.covisibility_matrix()
+    assert C[0, 3] >= 100 and C[0, 1] == 0
+
+    reloc = Relocalizer(cfg)
+    reloc._loop_edges = [(0, 2)]          # a previous loop
+
+    captured = {}
+    orig = pg_mod.optimize_pose_graph
+
+    def spy(graph, n_iters=20, **kw):
+        captured["graph"] = graph
+        return graph.poses
+
+    class FakeSystem:
+        pass
+
+    sys_ = FakeSystem()
+    sys_.map = m
+    sys_.Tcw = np.eye(4, dtype=np.float32)
+    sys_.velocity = np.eye(4, dtype=np.float32)
+    m.run_global_ba = lambda passes=1: None
+
+    import sindslam_tpu.slam.loop_closing as lc_mod
+    lc_mod.optimize_pose_graph = spy
+    try:
+        reloc._apply_pose_graph(sys_, m.keyframes[3], m.keyframes[1],
+                                np.eye(4, dtype=np.float32))
+    finally:
+        lc_mod.optimize_pose_graph = orig
+
+    g = captured["graph"]
+    pairs = {(int(a), int(b)) for a, b in zip(np.asarray(g.edge_i),
+                                              np.asarray(g.edge_j))}
+    norm = {(min(p), max(p)) for p in pairs}
+    assert (0, 1) in norm and (1, 2) in norm and (2, 3) in norm  # spanning
+    assert (1, 3) in norm                                        # new loop
+    assert (0, 2) in norm                                        # prev loop
+    assert (0, 3) in norm                                        # covis >=100
+    # unit information weights for every edge (reference matLambda identity)
+    np.testing.assert_allclose(np.asarray(g.edge_w), 1.0)
+    # the new loop pair is recorded for future graphs
+    assert (1, 3) in reloc._loop_edges
+
+
 def test_pose_graph_closes_drift():
     """Classic loop: odometry drifts, one loop edge fixes it."""
     rng = np.random.default_rng(4)

@@ -101,6 +101,71 @@ def test_pyramid_shapes_static():
     assert shapes[1] == (230, 307)
 
 
+def _smooth_textured(h, w, seed):
+    """Coarse blobby texture the solver can track through large motion
+    (fine random noise aliases away at coarse pyramid levels, making ALL
+    solvers — full or pre-test — underestimate; see debug note in r3)."""
+    rng = np.random.default_rng(seed)
+    base = rng.uniform(0, 255, (h // 12, w // 12)).astype(np.float32)
+    return np.asarray(im.resize_bilinear(jnp.asarray(base), (h, w)))
+
+
+class TestFlowWithFallback:
+    """The coarse pre-test fallback must (a) agree with the full-solve
+    large-motion decision, (b) match the accuracy of the branch it picks."""
+
+    CFG = FlowConfig(n_levels=5, outer_iterations=6, inner_iterations=2,
+                     solver_iterations=6, working_height=72, working_width=96,
+                     fallback_pretest_level=2)
+
+    def _run(self, gray, gray_m1, gray_m2, valid):
+        return F.flow_with_fallback(
+            jnp.asarray(gray), jnp.asarray(gray_m1), jnp.asarray(gray_m2),
+            jnp.asarray(valid), self.CFG,
+            large_motion_flow_px=10.0, large_motion_frac=0.30)
+
+    def test_small_motion_stays_on_n2(self):
+        img = _textured(120, 160, seed=5)
+        g_m2 = img
+        g_m1 = _shift_image(img, -1.0, -0.5)
+        g = _shift_image(img, -2.0, -1.0)   # flow n->n-2 = (2, 1): small
+        valid = np.ones((120, 160), bool)
+        u, v, lm = self._run(g, g_m1, g_m2, valid)
+        assert not bool(lm)
+        # accuracy parity with the plain n->n-2 solve
+        assert abs(float(np.asarray(u)[30:-30, 30:-30].mean()) - 2.0) < 0.5
+        assert abs(float(np.asarray(v)[30:-30, 30:-30].mean()) - 1.0) < 0.5
+
+    def test_large_motion_falls_back_to_n1(self):
+        img = _smooth_textured(120, 160, seed=6)
+        g_m2 = img
+        g_m1 = _shift_image(img, -14.0, 0.0)
+        g = _shift_image(img, -28.0, 0.0)   # n->n-2 = 28 px: large motion
+        valid = np.ones((120, 160), bool)
+        u, v, lm = self._run(g, g_m1, g_m2, valid)
+        assert bool(lm)
+        # the returned flow must be the n->n-1 field (~14 px), not n->n-2
+        assert abs(float(np.asarray(u)[30:-30, 40:-30].mean()) - 14.0) < 3.0
+
+    def test_decision_matches_full_solve_decision(self):
+        """The coarse-level decision agrees with the round-2 semantics
+        (full-res magnitude histogram of the complete n->n-2 solve) on
+        clearly-small and clearly-large motions."""
+        for seed, shift, expect_large in [(7, 3.0, False), (8, 26.0, True)]:
+            img = _smooth_textured(120, 160, seed=seed)
+            g_m1 = _shift_image(img, -shift / 2, 0.0)
+            g = _shift_image(img, -shift, 0.0)
+            valid = np.ones((120, 160), bool)
+            _u, _v, lm = self._run(g, g_m1, img, valid)
+            # golden: decision from the FULL n->n-2 solve
+            uf, vf = F.flow_at_working_scale(
+                jnp.asarray(g), jnp.asarray(img), self.CFG)
+            mag = np.sqrt(np.asarray(uf) ** 2 + np.asarray(vf) ** 2)
+            frac_below = (mag <= 10.0).mean()
+            assert (frac_below < 0.30) == expect_large
+            assert bool(lm) == expect_large
+
+
 def test_flow_at_working_scale_resolution():
     img = _textured(120, 160, seed=4)
     img2 = _shift_image(img, 2.0, 1.0)

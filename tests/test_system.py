@@ -38,7 +38,10 @@ def test_slam_system_static_scene():
     sys, n_kf = _run_system(frames, cfg)
 
     assert n_kf >= 2                       # keyframe machinery engaged
-    assert sys.map.valid.sum() > 500       # map populated
+    # map populated (threshold re-calibrated for the reference-faithful
+    # MapPointCulling policy of r3 — the obs<=3 age cull keeps the map lean,
+    # exactly as ORB-SLAM2 RGB-D does; was >500 under the lenient r2 cull)
+    assert sys.map.valid.sum() > 250
     ts, poses = sys.trajectory()
     gt = np.stack([f[3][:3, 3] for f in frames])
     res = evaluate_ate(np.array([f[4] for f in frames]), gt,
