@@ -251,6 +251,12 @@ class TrackingConfig:
     # Map management
     max_map_points: int = 65536
     max_keyframes: int = 2048
+    # Asynchronous keyframe processing (the reference's LocalMapping-thread
+    # role, ``src/System.cc:90-91``): the keyframe's heavy tail
+    # (triangulation readback, fuse/cull, local BA, loop detection) is
+    # deferred and serviced one stage per subsequent tracked frame, so
+    # tracking never blocks on BA. False restores the synchronous r2 path.
+    async_mapping: bool = True
 
 
 @dataclass(frozen=True)

@@ -42,16 +42,16 @@ from sindslam_tpu.ops import image as im
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def _flow_fn(gray_a, gray_b, cfg: FlowConfig):
-    return flow_ops.flow_at_working_scale(gray_a, gray_b, cfg)
+def _pyramid_fn(gray, cfg: FlowConfig):
+    return flow_ops.working_pyramid(gray, cfg)
 
 
-@functools.partial(jax.jit, static_argnames=("fcfg", "dcfg"))
-def _flow_fallback_fn(gray, gray_m1, gray_m2, valid,
-                      fcfg: FlowConfig, dcfg: DynaConfig):
-    return flow_ops.flow_with_fallback(
-        gray, gray_m1, gray_m2, valid, fcfg,
-        dcfg.large_motion_flow_px, dcfg.large_motion_frac)
+@functools.partial(jax.jit, static_argnames=("fcfg", "dcfg", "out_hw"))
+def _flow_fallback_fn(pyr_cur, pyr_m1, pyr_m2, valid, prev_large,
+                      fcfg: FlowConfig, dcfg: DynaConfig, out_hw):
+    return flow_ops.flow_fallback_from_pyramids(
+        pyr_cur, pyr_m1, pyr_m2, valid, prev_large, fcfg,
+        dcfg.large_motion_flow_px, dcfg.large_motion_frac, out_hw)
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "cfg"))
@@ -85,8 +85,9 @@ class DynaDetector:
         self.cfg = cfg
         self.cam = cfg.camera
         h, w = self.cam.height, self.cam.width
-        self._gray_m1: Optional[jnp.ndarray] = None
-        self._gray_m2: Optional[jnp.ndarray] = None
+        self._pyr_m1: Optional[tuple] = None    # working-scale flow pyramids
+        self._pyr_m2: Optional[tuple] = None
+        self._prev_large = jnp.asarray(False)
         self._prev_labels: Optional[jnp.ndarray] = None
         self._prev_high = jnp.zeros((h, w), bool)
         self._prev_mask = jnp.zeros((h, w), jnp.int32)
@@ -102,26 +103,27 @@ class DynaDetector:
         gray = im.rgb_to_gray(rgb)
         valid = (depth_m > 0.05) & (depth_m <= cfg.dyna.max_depth_m)
 
-        if self._gray_m1 is None:
+        if self._pyr_m1 is None:
             # frame 0: no flow yet; everything valid is static
             kml, er, rr = _geometry_fn(depth_m, None, self.cam, cfg.dyna)
             mask = jnp.where(valid, cfg.dyna.mask_static, cfg.dyna.mask_invalid
                              ).astype(jnp.int32)
-            self._gray_m1 = gray
+            self._pyr_m1 = _pyramid_fn(gray, cfg.flow)
             self._prev_labels = kml
             self._prev_mask = mask
             self._frame_idx = 1
             return mask, rr.label_img
 
-        # ---- flow: n -> n-2 preferred, n -> n-1 on large motion (or frame 1).
-        # The in-graph coarse pre-test picks the target frame BEFORE the
-        # expensive fine levels run (see flow.flow_with_fallback), so there
-        # is no host-side re-solve anymore.
-        if self._gray_m2 is not None:
-            u, v, _lm = _flow_fallback_fn(gray, self._gray_m1, self._gray_m2,
-                                          valid, cfg.flow, cfg.dyna)
-        else:
-            u, v = _flow_fn(gray, self._gray_m1, cfg.flow)
+        # ---- flow: n -> n-2 preferred, n -> n-1 on large motion (or frame
+        # 1, where n-2 == n-1). The in-graph coarse pre-test runs against
+        # the target predicted by the previous verdict BEFORE the expensive
+        # fine levels (see flow.flow_fallback_from_pyramids); target
+        # pyramids are cached across frames.
+        pyr_cur = _pyramid_fn(gray, cfg.flow)
+        pyr_m2 = self._pyr_m2 if self._pyr_m2 is not None else self._pyr_m1
+        u, v, lm = _flow_fallback_fn(
+            pyr_cur, self._pyr_m1, pyr_m2, valid, self._prev_large,
+            cfg.flow, cfg.dyna, (self.cam.height, self.cam.width))
 
         # ---- geometry branch
         kml, er, rr = _geometry_fn(depth_m, self._prev_labels, self.cam, cfg.dyna)
@@ -137,8 +139,9 @@ class DynaDetector:
         mask = fu.dyna_mask
 
         # ---- state rollover (reference DynaDetect.cc:1660-1664)
-        self._gray_m2 = self._gray_m1
-        self._gray_m1 = gray
+        self._pyr_m2 = self._pyr_m1
+        self._pyr_m1 = pyr_cur
+        self._prev_large = lm
         self._prev_labels = kml
         self._prev_high = fm.high_mask
         self._prev_mask = mask

@@ -33,8 +33,9 @@ from sindslam_tpu.ops import image as im
 class FrontendState(NamedTuple):
     """Device-resident recurrent state of the front-end."""
 
-    gray_m1: jnp.ndarray     # (H, W) previous grayscale
-    gray_m2: jnp.ndarray     # (H, W) grayscale two frames back
+    pyr_m1: Tuple[jnp.ndarray, ...]  # working-scale flow pyramid, frame n-1
+    pyr_m2: Tuple[jnp.ndarray, ...]  # working-scale flow pyramid, frame n-2
+    prev_large: jnp.ndarray  # scalar bool: last frame's large-motion verdict
     prev_labels: jnp.ndarray  # (H, W) int32 k-means warm start
     prev_mask: jnp.ndarray   # (H, W) int32 previous dyna mask (255/125/0)
     prev_high: jnp.ndarray   # (H, W) bool previous high-residual mask
@@ -55,9 +56,11 @@ class FrontendOutput(NamedTuple):
 
 def init_state(cfg: SystemConfig, gray0: jnp.ndarray) -> FrontendState:
     h, w = cfg.camera.height, cfg.camera.width
+    pyr0 = flow_ops.working_pyramid(gray0, cfg.flow)
     return FrontendState(
-        gray_m1=gray0,
-        gray_m2=gray0,
+        pyr_m1=pyr0,
+        pyr_m2=pyr0,
+        prev_large=jnp.asarray(False),
         prev_labels=jnp.full((h, w), -1, jnp.int32),
         prev_mask=jnp.zeros((h, w), jnp.int32),
         prev_high=jnp.zeros((h, w), bool),
@@ -83,13 +86,17 @@ def frontend_step(
     valid = (depth_m > 0.05) & (depth_m <= cfg.dyna.max_depth_m)
 
     # flow n -> n-2 preferred; large-motion fallback to n -> n-1 (reference
-    # DynaDetect.cc:1086-1131). The magnitude test runs after only the
-    # COARSE pyramid levels, so each frame pays ~ONE full solve whichever
-    # branch the in-graph lax.cond takes (round 2 solved the flow twice on
-    # 93% of benchmark frames).
-    u, v, large_motion = flow_ops.flow_with_fallback(
-        gray, state.gray_m1, state.gray_m2, valid, cfg.flow,
-        cfg.dyna.large_motion_flow_px, cfg.dyna.large_motion_frac)
+    # DynaDetect.cc:1086-1131). The coarse levels pre-solve against the
+    # target PREDICTED by the previous frame's verdict and the magnitude
+    # test then either continues the same solve or (regime flip only)
+    # restarts against the other frame — steady state pays exactly ONE
+    # coarse-to-fine solve (round 2 solved the flow twice on 93% of
+    # benchmark frames). Target pyramids come cached from the state.
+    pyr_cur = flow_ops.working_pyramid(gray, cfg.flow)
+    u, v, large_motion = flow_ops.flow_fallback_from_pyramids(
+        pyr_cur, state.pyr_m1, state.pyr_m2, valid, state.prev_large,
+        cfg.flow, cfg.dyna.large_motion_flow_px, cfg.dyna.large_motion_frac,
+        (cfg.camera.height, cfg.camera.width))
 
     # geometry branch (dataflow-parallel with the flow branch inside XLA)
     kml, _centers = seg_by_kmeans(depth_m, cfg.camera, cfg.dyna, state.prev_labels)
@@ -117,8 +124,9 @@ def frontend_step(
     kp_depth, kp_ur = _depth_ur(feats.xy, depth_m, cfg.camera)
 
     new_state = FrontendState(
-        gray_m1=gray,
-        gray_m2=state.gray_m1,
+        pyr_m1=pyr_cur,
+        pyr_m2=state.pyr_m1,
+        prev_large=large_motion,
         prev_labels=kml,
         prev_mask=fu.dyna_mask,
         prev_high=fm.high_mask,

@@ -294,6 +294,99 @@ def variational_flow_jit(img1_gray, img2_gray, cfg: FlowConfig):
     return variational_flow(img1_gray, img2_gray, cfg)
 
 
+def working_pyramid(gray_full: jnp.ndarray, cfg: FlowConfig
+                    ) -> Tuple[jnp.ndarray, ...]:
+    """Preprocessed Gaussian pyramid of a full-res grayscale frame at the
+    working scale. Cached in the front-end state across frames: the n-1 and
+    n-2 target pyramids of every flow solve were already built when those
+    frames were current (~1.5 ms each saved per frame)."""
+    wh, ww = cfg.working_height, cfg.working_width
+    g = _preprocess(im.resize_bilinear(gray_full, (wh, ww)))
+    shapes = pyramid_shapes(wh, ww, cfg.pyramid_scale, cfg.n_levels)
+    return tuple(_build_pyramid(g, shapes))
+
+
+def flow_fallback_from_pyramids(
+    pyr_cur: Tuple[jnp.ndarray, ...],
+    pyr_m1: Tuple[jnp.ndarray, ...],
+    pyr_m2: Tuple[jnp.ndarray, ...],
+    valid_full: jnp.ndarray,
+    prev_large: jnp.ndarray,
+    cfg: FlowConfig,
+    large_motion_flow_px: float,
+    large_motion_frac: float,
+    out_hw: Tuple[int, int],
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Flow n->n-2 with the reference's large-motion fallback to n->n-1
+    (``src/DynaDetect.cc:1086-1131``) — at exactly ONE coarse-to-fine solve
+    per frame in steady state.
+
+    The reference (and the round-2 pipeline) solves the FULL n->n-2 flow,
+    tests its magnitude histogram, and on large motion solves the full
+    n->n-1 flow from scratch: two complete solves on fast frames (the
+    fallback fired on 93% of benchmark frames). Two observations fix this:
+
+    1. coarse-to-fine exists precisely because large displacements are
+       resolved at coarse scale — the magnitude test is just as decisive
+       after only the coarse levels (``cfg.fallback_pretest_level`` and up);
+    2. motion regimes persist across frames, so the PREVIOUS frame's
+       decision predicts this frame's target. The coarse pre-solve runs
+       against the predicted target; when the decision confirms the
+       prediction (nearly always), the same solve just continues down the
+       fine levels — nothing is recomputed. Only on a regime flip does the
+       other target get a fresh full solve.
+
+    When the pre-test ran against n-1 (``prev_large``), the measured
+    magnitudes are doubled for the decision (constant-velocity estimate of
+    the n->n-2 motion the reference's 10 px threshold is defined on).
+
+    Returns ``(u_full, v_full, large_motion)`` at ``out_hw`` resolution;
+    ``large_motion`` means the n->n-1 field was produced.
+    """
+    H, W = out_hw
+    shapes = [p.shape for p in pyr_cur]
+    wh, ww = shapes[0]
+    top = len(shapes) - 1
+    k = min(max(cfg.fallback_pretest_level, 0), top)
+
+    # predicted target: n-1 if the previous frame was large-motion
+    pyr_t1 = tuple(jnp.where(prev_large, a, b)
+                   for a, b in zip(pyr_m1, pyr_m2))
+    ch, cw = shapes[-1]
+    u0 = jnp.zeros((ch, cw), jnp.float32)
+    v0 = jnp.zeros((ch, cw), jnp.float32)
+    u_c, v_c = _solve_pyramid_range(pyr_cur, pyr_t1, u0, v0, cfg, top, k)
+
+    # Magnitude test at the pre-test level, in FULL-resolution n->n-2-
+    # equivalent pixels (threshold semantics follow the reference's
+    # full-res 10 px histogram test, DynaDetect.cc:1086-1114).
+    lh, lw = shapes[k]
+    mag_scale = jnp.where(prev_large, 2.0, 1.0)
+    mag = jnp.sqrt((u_c * (W / lw)) ** 2 + (v_c * (H / lh)) ** 2) * mag_scale
+    val_c = im.resize_bilinear(valid_full.astype(jnp.float32), (lh, lw)) > 0.5
+    n_ok = jnp.sum(val_c) + 1e-9
+    frac_below = jnp.sum((mag <= large_motion_flow_px) & val_c) / n_ok
+    large_motion = frac_below < large_motion_frac
+
+    def _continue_t1(uv):
+        u, v = uv
+        return _solve_pyramid_range(pyr_cur, pyr_t1, u, v, cfg, k - 1, 0) \
+            if k > 0 else (u, v)
+
+    def _restart_other(_uv):
+        # decision flipped the prediction: full solve against the target
+        # the decision actually chose
+        pyr_t2 = tuple(jnp.where(large_motion, a, b)
+                       for a, b in zip(pyr_m1, pyr_m2))
+        return _solve_pyramid_range(pyr_cur, pyr_t2, u0, v0, cfg, top, 0)
+
+    u, v = jax.lax.cond(large_motion == prev_large,
+                        _continue_t1, _restart_other, (u_c, v_c))
+    u_full = im.resize_bilinear(u, (H, W)) * (W / ww)
+    v_full = im.resize_bilinear(v, (H, W)) * (H / wh)
+    return u_full, v_full, large_motion
+
+
 def flow_with_fallback(
     gray_full: jnp.ndarray,
     gray_m1_full: jnp.ndarray,
@@ -303,66 +396,16 @@ def flow_with_fallback(
     large_motion_flow_px: float,
     large_motion_frac: float,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Flow n->n-2 with the reference's large-motion fallback to n->n-1
-    (``src/DynaDetect.cc:1086-1131``) — at ~ONE full solve per frame.
-
-    The reference (and the round-2 pipeline) solves the FULL n->n-2 flow,
-    tests its magnitude histogram, and on large motion solves the full
-    n->n-1 flow from scratch: two complete solves on fast frames. Here the
-    decision is taken after only the COARSE pyramid levels of the n->n-2
-    solve (level ``cfg.fallback_pretest_level`` and up — a few percent of
-    the total cost): coarse-to-fine exists precisely because large
-    displacements are already resolved at coarse scale, so the magnitude
-    test is just as decisive there. Then exactly one of the two branches of
-    a ``lax.cond`` runs:
-
-      * small motion  -> continue the SAME n->n-2 solve down the remaining
-        fine levels (the coarse work is reused, nothing is wasted);
-      * large motion  -> full n->n-1 solve (its coarse levels cost the same
-        few percent that the pre-test did).
-
-    Returns ``(u_full, v_full, large_motion)`` at full resolution.
-    """
+    """Stateless wrapper over :func:`flow_fallback_from_pyramids` (always
+    pre-tests against n-2, i.e. ``prev_large = False``). The fused pipeline
+    uses the pyramid-state variant directly."""
     H, W = gray_full.shape
-    wh, ww = cfg.working_height, cfg.working_width
-    g = _preprocess(im.resize_bilinear(gray_full, (wh, ww)))
-    g_m2 = _preprocess(im.resize_bilinear(gray_m2_full, (wh, ww)))
-
-    shapes = pyramid_shapes(wh, ww, cfg.pyramid_scale, cfg.n_levels)
-    top = len(shapes) - 1
-    k = min(max(cfg.fallback_pretest_level, 0), top)
-    pyr_cur = _build_pyramid(g, shapes)
-    pyr_m2 = _build_pyramid(g_m2, shapes)
-
-    ch, cw = shapes[-1]
-    u0 = jnp.zeros((ch, cw), jnp.float32)
-    v0 = jnp.zeros((ch, cw), jnp.float32)
-    u_c, v_c = _solve_pyramid_range(pyr_cur, pyr_m2, u0, v0, cfg, top, k)
-
-    # Magnitude test at the pre-test level, in FULL-resolution pixels
-    # (threshold semantics match the reference's full-res 10 px histogram
-    # test; the sampled-grid decimation is unnecessary at coarse scale).
-    lh, lw = shapes[k]
-    mag = jnp.sqrt((u_c * (W / lw)) ** 2 + (v_c * (H / lh)) ** 2)
-    val_c = im.resize_bilinear(valid_full.astype(jnp.float32), (lh, lw)) > 0.5
-    n_ok = jnp.sum(val_c) + 1e-9
-    frac_below = jnp.sum((mag <= large_motion_flow_px) & val_c) / n_ok
-    large_motion = frac_below < large_motion_frac
-
-    def _continue_m2(uv):
-        u, v = uv
-        return _solve_pyramid_range(pyr_cur, pyr_m2, u, v, cfg, k - 1, 0) \
-            if k > 0 else (u, v)
-
-    def _solve_m1(_uv):
-        g_m1 = _preprocess(im.resize_bilinear(gray_m1_full, (wh, ww)))
-        pyr_m1 = _build_pyramid(g_m1, shapes)
-        return _solve_pyramid_range(pyr_cur, pyr_m1, u0, v0, cfg, top, 0)
-
-    u, v = jax.lax.cond(large_motion, _solve_m1, _continue_m2, (u_c, v_c))
-    u_full = im.resize_bilinear(u, (H, W)) * (W / ww)
-    v_full = im.resize_bilinear(v, (H, W)) * (H / wh)
-    return u_full, v_full, large_motion
+    return flow_fallback_from_pyramids(
+        working_pyramid(gray_full, cfg),
+        working_pyramid(gray_m1_full, cfg),
+        working_pyramid(gray_m2_full, cfg),
+        valid_full, jnp.asarray(False), cfg,
+        large_motion_flow_px, large_motion_frac, (H, W))
 
 
 def flow_at_working_scale(

@@ -359,14 +359,27 @@ class LocalMap:
         )
         return problem, window, lut
 
-    def run_local_ba(self, window: Optional[List[KeyFrame]] = None
-                     ) -> Optional[float]:
-        """Local BA over a window (default recent); writes back poses/points."""
+    def dispatch_local_ba(self, window: Optional[List[KeyFrame]] = None):
+        """Dispatch local BA to the device WITHOUT waiting for the result.
+
+        The TPU answer to the reference's LocalMapping thread
+        (``src/System.cc:90-91``, ``LocalMapping.cc:47-126``): the solve is
+        queued on the device stream and the host returns immediately;
+        :meth:`integrate_local_ba` reads it back later (typically a frame
+        or two on — by then the device has finished and the readback is
+        just the transfer). Returns an opaque handle or None."""
         built = self.build_ba_window(window=window)
         if built is None:
             return None
         problem, window, lut = built
         res = local_bundle_adjustment(problem, self.cam, self.cfg)
+        return (res, problem, window, lut)
+
+    def integrate_local_ba(self, handle) -> Optional[float]:
+        """Read back a dispatched BA and write poses/points into the map."""
+        if handle is None:
+            return None
+        res, problem, window, lut = handle
         from sindslam_tpu.slam.ba import unpack_ba_result
 
         poses, pts, _chi2 = unpack_ba_result(
@@ -380,6 +393,11 @@ class LocalMap:
         ids = lut[:n_used]
         self.pos[ids] = pts[:n_used]
         return _chi2
+
+    def run_local_ba(self, window: Optional[List[KeyFrame]] = None
+                     ) -> Optional[float]:
+        """Local BA over a window (default recent); writes back poses/points."""
+        return self.integrate_local_ba(self.dispatch_local_ba(window=window))
 
     def run_global_ba(self, passes: int = 2) -> Optional[float]:
         """Full-map bundle adjustment as overlapping windowed sweeps.

@@ -224,11 +224,15 @@ class Relocalizer:
     # -------------------------------------------------------- loop closing
 
     def try_close_loop(self, system, min_gap: int = 15,
-                       min_score: float = 0.35, min_inliers: int = 25) -> bool:
-        """Detect + correct a loop against the newest keyframe."""
+                       min_score: float = 0.35, min_inliers: int = 25,
+                       kf: Optional[KeyFrame] = None) -> bool:
+        """Detect + correct a loop against ``kf`` (default: the newest
+        keyframe; the async mapping pipeline passes the keyframe whose
+        deferred stage is being integrated)."""
         if self.vocab is None or self.db is None or len(system.map.keyframes) < min_gap + 2:
             return False
-        kf = system.map.keyframes[-1]
+        if kf is None:
+            kf = system.map.keyframes[-1]
         words = self._kf_words.get(kf.kf_id)
         if words is None:
             return False

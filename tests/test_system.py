@@ -55,6 +55,40 @@ def test_slam_system_static_scene():
 
 
 @pytest.mark.slow
+def test_async_mapping_preserves_ate():
+    """VERDICT r2 missing #2 done-criterion: deferring the keyframe tail
+    (triangulation readback, fuse/cull, local BA, loop detection) off the
+    track call must not cost accuracy — async and sync runs land within a
+    few mm of each other on the same sequence, and the async system's
+    deferred stages fully drain."""
+    frames = list(generate_sequence(n_frames=12, seed=2, with_dynamic=False,
+                                    amplitude=0.06))
+
+    def run(async_mapping):
+        cfg = SystemConfig(
+            camera=CAM,
+            orb=ORBConfig(n_features=800, n_levels=4),
+            tracking=TrackingConfig(ba_max_keyframes=8, ba_max_points=2048,
+                                    max_frames_between_kf=4,
+                                    async_mapping=async_mapping),
+        )
+        sys, n_kf = _run_system(frames, cfg)
+        sys.shutdown()
+        assert sys._pending == []          # everything drained
+        ts, poses = sys.trajectory()
+        gt = np.stack([f[3][:3, 3] for f in frames])
+        res = evaluate_ate(np.array([f[4] for f in frames]), gt,
+                           ts, poses[:, :3, 3])
+        return res.rmse, n_kf
+
+    rmse_async, kf_async = run(True)
+    rmse_sync, kf_sync = run(False)
+    assert rmse_async < 0.02, rmse_async
+    assert abs(rmse_async - rmse_sync) < 0.01, (rmse_async, rmse_sync)
+    assert kf_async >= 2 and kf_sync >= 2
+
+
+@pytest.mark.slow
 def test_slam_system_trajectory_io(tmp_path):
     cfg = SystemConfig(
         camera=CAM,
