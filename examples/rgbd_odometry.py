@@ -251,10 +251,20 @@ def main() -> int:
               f"map points: {int(slam.map.valid.sum())}")
     else:
         write_tum_trajectory(args.out, np.array(timestamps), np.stack(poses_twc))
-    print(f"tracked {n_done} frames | mean/frame: total {1000*t_total/n_done:.1f} ms"
-          + (f" (detect {1000*t_detect/n_done:.1f} ms, track {1000*t_track/n_done:.1f} ms)"
-             if args.dyna else "")
-          + f" | trajectory -> {args.out}")
+    # In the pipelined (--fused) loop the front-end overlaps tracking by
+    # construction, so a detect/track split does not exist — label the
+    # combined number honestly instead of reporting detect = 0
+    # (ADVICE r2 #5).
+    pipelined = args.dyna and args.fused and slam is not None
+    if pipelined:
+        split = f" (pipelined front-end+track {1000*t_track/n_done:.1f} ms)"
+    elif args.dyna:
+        split = (f" (detect {1000*t_detect/n_done:.1f} ms, "
+                 f"track {1000*t_track/n_done:.1f} ms)")
+    else:
+        split = ""
+    print(f"tracked {n_done} frames | mean/frame: total "
+          f"{1000*t_total/n_done:.1f} ms{split} | trajectory -> {args.out}")
 
     if mapper is not None:
         mapper.save_pcd(args.map_out)

@@ -208,7 +208,12 @@ def _make_cc_kernel(true_h: int, true_w: int, n_sweeps: int):
     register-level vector ops — hundreds of sweeps cost well under a ms.
     Reach = n_sweeps pixels of in-component path length (no jumps), so the
     sweep count must exceed the longest geodesic path of any component at
-    the call's resolution.
+    the call's resolution (stress-tested at the budget in
+    tests/test_pallas_kernels.py::test_cc_labels_pallas_serpentine_at_budget).
+    A pathological snake longer than the budget splits into multiple
+    labels; in the RAG pipeline the fragments share cluster label,
+    adjacency, and depth histogram, so the merge stage re-joins them —
+    the failure mode is bounded, not silent corruption.
     """
 
     def kernel(seed_ref, mask_ref, labels_ref, comp_ref):

@@ -57,15 +57,19 @@ def _normalize(pts: jnp.ndarray, valid: jnp.ndarray
     return (pts - mean) * s[None, :], T
 
 
-def _dlt_homography(p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
-    """H from 8 correspondences (DLT, ``Initializer::ComputeH21``)."""
+def _dlt_homography(p1: jnp.ndarray, p2: jnp.ndarray,
+                    w: jnp.ndarray | None = None) -> jnp.ndarray:
+    """H from N >= 4 correspondences (DLT, ``Initializer::ComputeH21``);
+    optional per-correspondence weights enable the all-inlier refit."""
     x1, y1 = p1[:, 0], p1[:, 1]
     x2, y2 = p2[:, 0], p2[:, 1]
     z = jnp.zeros_like(x1)
     o = jnp.ones_like(x1)
     r1 = jnp.stack([z, z, z, -x1, -y1, -o, y2 * x1, y2 * y1, y2], -1)
     r2 = jnp.stack([x1, y1, o, z, z, z, -x2 * x1, -x2 * y1, -x2], -1)
-    A = jnp.concatenate([r1, r2], 0)                     # (16, 9)
+    A = jnp.concatenate([r1, r2], 0)                     # (2N, 9)
+    if w is not None:
+        A = A * jnp.concatenate([w, w], 0)[:, None]
     # smallest right singular vector via eigh of A^T A (9x9)
     M = A.T @ A
     w_, v = jnp.linalg.eigh(M)
@@ -73,13 +77,16 @@ def _dlt_homography(p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
     return h.reshape(3, 3)
 
 
-def _eight_point_f(p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
-    """F from 8 correspondences (``Initializer::ComputeF21``), with the
-    rank-2 projection."""
+def _eight_point_f(p1: jnp.ndarray, p2: jnp.ndarray,
+                   w: jnp.ndarray | None = None) -> jnp.ndarray:
+    """F from N >= 8 correspondences (``Initializer::ComputeF21``), with the
+    rank-2 projection; optional weights enable the all-inlier refit."""
     x1, y1 = p1[:, 0], p1[:, 1]
     x2, y2 = p2[:, 0], p2[:, 1]
     o = jnp.ones_like(x1)
     A = jnp.stack([x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, o], -1)
+    if w is not None:
+        A = A * w[:, None]
     M = A.T @ A
     w_, v = jnp.linalg.eigh(M)
     F = v[:, 0].reshape(3, 3)
@@ -128,11 +135,13 @@ def _ransac_models(p1: jnp.ndarray, p2: jnp.ndarray, valid: jnp.ndarray,
     p1n, T1 = _normalize(p1, valid)
     p2n, T2 = _normalize(p2, valid)
 
-    # sample 8-point minimal sets from the valid indices
-    probs = valid.astype(jnp.float32) / jnp.maximum(valid.sum(), 1)
-    idx = jax.random.categorical(
-        key, jnp.log(probs + 1e-12)[None, :].repeat(n_hyp * 8, 0)
-    ).reshape(n_hyp, 8)
+    # sample 8-point minimal sets WITHOUT replacement per hypothesis
+    # (Gumbel top-k over the valid indices — duplicate correspondences in a
+    # minimal set make the DLT solve degenerate; the reference samples
+    # without replacement, Initializer.cc RANSAC set construction)
+    logw = jnp.log(valid.astype(jnp.float32) + 1e-12)
+    g = jax.random.gumbel(key, (n_hyp, n)) + logw[None]
+    _, idx = jax.lax.top_k(g, 8)                        # (n_hyp, 8) distinct
     s1 = p1n[idx]                                       # (n_hyp, 8, 2)
     s2 = p2n[idx]
 
@@ -165,16 +174,44 @@ def _ransac_models(p1: jnp.ndarray, p2: jnp.ndarray, valid: jnp.ndarray,
     sf = jax.vmap(score_f)(Fs)
     bh = jnp.argmax(sh)
     bf = jnp.argmax(sf)
+
+    # refit each winner on ITS FULL INLIER SET (overdetermined, weighted
+    # rows): an 8-point minimal-sample model is noisy; the reference
+    # effectively achieves this through 200 iterations of scoring — the
+    # all-inlier least-squares refit is the direct estimator
+    def refit(model_n, is_h):
+        if is_h:
+            e12, e21 = _h_transfer_err(model_n, p1n, p2n)
+            c1 = e21 / (T1[0, 0] * T1[1, 1])
+            c2 = e12 / (T2[0, 0] * T2[1, 1])
+            w = ((c1 * inv_s2 < th) & (c2 * inv_s2 < th) & valid
+                 ).astype(jnp.float32)
+            return _dlt_homography(p1n, p2n, w)
+        e1, e2 = _f_epipolar_err(model_n, p1n, p2n)
+        c1 = e1 / (T1[0, 0] * T1[1, 1])
+        c2 = e2 / (T2[0, 0] * T2[1, 1])
+        w = ((c1 * inv_s2 < 3.841) & (c2 * inv_s2 < 3.841) & valid
+             ).astype(jnp.float32)
+        return _eight_point_f(p1n, p2n, w)
+
+    Hn = refit(Hs[bh], True)
+    Fn = refit(Fs[bf], False)
+    # keep the refit only if it scores at least as well
+    Hn = jnp.where(score_h(Hn) >= sh[bh], Hn, Hs[bh])
+    Fn = jnp.where(score_f(Fn) >= sf[bf], Fn, Fs[bf])
+    sh_best = jnp.maximum(score_h(Hn), sh[bh])
+    sf_best = jnp.maximum(score_f(Fn), sf[bf])
+
     # denormalize: H21 = T2^-1 Hn T1 ; F21 = T2^T Fn T1
-    H = jnp.linalg.inv(T2) @ Hs[bh] @ T1
-    F = T2.T @ Fs[bf] @ T1
+    H = jnp.linalg.inv(T2) @ Hn @ T1
+    F = T2.T @ Fn @ T1
 
     # inlier flags for the winners (pixel-space errors)
     eh12, eh21 = _h_transfer_err(H, p1, p2)
     inl_h = (eh12 * inv_s2 < th) & (eh21 * inv_s2 < th) & valid
     ef1, ef2 = _f_epipolar_err(F, p1, p2)
     inl_f = (ef1 * inv_s2 < 3.841) & (ef2 * inv_s2 < 3.841) & valid
-    return H, sh[bh], inl_h, F, sf[bf], inl_f
+    return H, sh_best, inl_h, F, sf_best, inl_f
 
 
 def _triangulate(R: np.ndarray, t: np.ndarray, K: np.ndarray,
@@ -197,8 +234,11 @@ def _triangulate(R: np.ndarray, t: np.ndarray, K: np.ndarray,
 
 def _check_rt(R: np.ndarray, t: np.ndarray, K: np.ndarray, p1: np.ndarray,
               p2: np.ndarray, max_reproj: float = 4.0
-              ) -> Tuple[int, np.ndarray, np.ndarray]:
-    """Cheirality + reprojection test (``Initializer::CheckRT``)."""
+              ) -> Tuple[int, np.ndarray, np.ndarray, float]:
+    """Cheirality + reprojection test (``Initializer::CheckRT``). Also
+    measures the triangulation parallax (degrees) of the reconstruction —
+    the reference's CheckRT returns it and ReconstructF/H require a floor
+    before accepting a pose."""
     X = _triangulate(R, t, K, p1, p2)
     z1 = X[:, 2]
     X2 = X @ R.T + t
@@ -208,7 +248,18 @@ def _check_rt(R: np.ndarray, t: np.ndarray, K: np.ndarray, p1: np.ndarray,
     e1 = np.sum((pr1[:, :2] - p1) ** 2, -1)
     e2 = np.sum((pr2[:, :2] - p2) ** 2, -1)
     good = (z1 > 0) & (z2 > 0) & (e1 < max_reproj ** 2) & (e2 < max_reproj ** 2)
-    return int(good.sum()), good, X
+    parallax_deg = 0.0
+    if good.any():
+        O2 = -R.T @ t                       # camera-2 center in cam-1 frame
+        n1 = X[good]
+        n2 = X[good] - O2
+        cosp = np.sum(n1 * n2, -1) / np.maximum(
+            np.linalg.norm(n1, axis=-1) * np.linalg.norm(n2, axis=-1), 1e-12)
+        cosp = np.sort(np.clip(cosp, -1.0, 1.0))
+        # the reference takes the 50th-largest-parallax point (CheckRT)
+        idx = min(50, len(cosp)) - 1
+        parallax_deg = float(np.degrees(np.arccos(cosp[idx])))
+    return int(good.sum()), good, X, parallax_deg
 
 
 def _decompose_f(F: np.ndarray, K: np.ndarray):
@@ -272,7 +323,8 @@ def _decompose_h(H: np.ndarray, K: np.ndarray):
 def initialize_monocular(
     kp1: np.ndarray, kp2: np.ndarray, valid: np.ndarray,
     cam: CameraConfig, seed: int = 0, sigma: float = 1.0,
-    min_inliers: int = 50, min_parallax_ratio: float = 0.9,
+    min_inliers: int = 50, ambiguity_ratio: float = 0.75,
+    min_parallax_deg: float = 1.0,
 ) -> Optional[InitResult]:
     """Two-view monocular initialization over matched keypoint arrays.
 
@@ -302,17 +354,21 @@ def initialize_monocular(
     best = None
     counts = []
     for R, t in cands:
-        n_good, good, X = _check_rt(R, t, K, p1, p2)
+        n_good, good, X, par = _check_rt(R, t, K, p1, p2)
         counts.append(n_good)
         if best is None or n_good > best[0]:
-            best = (n_good, R, t, good, X)
+            best = (n_good, R, t, good, X, par)
     counts.sort(reverse=True)
-    # the winner must dominate (reference: nGood > 0.7/0.75 * secondBest and
-    # a minimum absolute support)
+    # the winner must dominate ambiguity at the reference's ratio
+    # (ReconstructF: secondBest < 0.75 * best) AND reconstruct with real
+    # triangulation parallax (minParallax 1.0 deg) — a near-tie or a
+    # zero-parallax cheirality outcome is a confidently wrong pose
     if best[0] < min_inliers or (len(counts) > 1
-                                 and counts[1] > min_parallax_ratio * counts[0]):
+                                 and counts[1] > ambiguity_ratio * counts[0]):
         return None
-    n_good, R, t, good, X = best
+    if best[5] < min_parallax_deg:
+        return None
+    n_good, R, t, good, X, _par = best
     inliers = np.zeros(len(kp1), bool)
     inliers[np.where(inl)[0][good]] = True
     return InitResult(ok=True, model="H" if use_h else "F", R=R, t=t,

@@ -114,3 +114,39 @@ def test_fast_nms_pallas_interpret_parity():
     m = 19
     np.testing.assert_allclose(got[m:-m, m:-m], ref[m:-m, m:-m],
                                rtol=0, atol=1e-4)
+
+
+def test_cc_labels_pallas_serpentine_at_budget():
+    """ADVICE r2 #2: the sweep kernel's reach is bounded by n_sweeps pixels
+    of in-component geodesic path (no pointer jumping). This stresses a
+    serpentine component whose geodesic length sits just UNDER the
+    production budget (768 sweeps at the 240x320 half-res call,
+    rag_merge.py) — it must resolve to ONE component — and documents that a
+    snake LONGER than the budget is the known failure shape (it splits;
+    the RAG merge stage then re-merges the fragments, same cluster label +
+    adjacency + identical depth histogram, so the pipeline-level effect is
+    bounded).
+    """
+    import numpy as np
+    from sindslam_tpu.ops.pallas_kernels import cc_labels_pallas
+
+    h, w = 24, 64
+    mask = np.zeros((h, w), bool)
+    # serpentine: rows 0, 2, 4, ... with alternating connectors; geodesic
+    # length ~ n_rows * w = 12 * 64 = 768 - epsilon
+    for r in range(0, h, 2):
+        mask[r, :] = True
+        if r + 1 < h:
+            mask[r + 1, w - 1 if (r // 2) % 2 == 0 else 0] = True
+    # geodesic diameter:
+    n_sweeps = 780   # just over the path length; the production call's
+    #                  budget-to-size ratio (768 vs 240x320) is far larger
+    #                  than this worst-case-constructed one
+    idx0 = (jnp.arange(h * w, dtype=jnp.int32) + 1).reshape(h, w)
+    seed = jnp.where(jnp.asarray(mask), idx0, 0)
+    got = np.asarray(cc_labels_pallas(seed, jnp.asarray(mask),
+                                      jnp.asarray(mask), n_sweeps=n_sweeps,
+                                      interpret=True))
+    ids = np.unique(got[mask])
+    assert len(ids) == 1, f"serpentine split into {len(ids)} components"
+    assert (got[~mask] == 0).all()
