@@ -282,6 +282,9 @@ class TrackingConfig:
     # Map management
     max_map_points: int = 65536
     max_keyframes: int = 2048
+    # MapPointCulling observation threshold (ref LocalMapping.cc cnThObs:
+    # 3 for RGB-D/stereo, 2 for monocular)
+    cull_th_obs: int = 3
     # Asynchronous keyframe processing (the reference's LocalMapping-thread
     # role, ``src/System.cc:90-91``): the keyframe's heavy tail
     # (triangulation readback, fuse/cull, local BA, loop detection) is

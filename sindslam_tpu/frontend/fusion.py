@@ -50,9 +50,14 @@ def _label_onehot(label_img: jnp.ndarray) -> jnp.ndarray:
 
 
 def _per_label_sums(values: jnp.ndarray, onehot: jnp.ndarray) -> jnp.ndarray:
-    """(B, H*W) stacked value images -> (B, K) per-label sums in one matmul."""
+    """(B, H*W) stacked value images -> (B, K) per-label sums in one matmul.
+
+    HIGHEST precision: these are COUNTS (areas, coverages) feeding
+    promotion thresholds — bf16 accumulation over 77k elements drifts ~1%
+    and flips knife-edge promotions between CPU and TPU runs. The matmul
+    is (B, HW/4) x (HW/4, 33): negligible either way."""
     return jnp.matmul(values.astype(jnp.float32), onehot,
-                      precision=jax.lax.Precision.DEFAULT)
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -109,9 +109,13 @@ def _compact_topk(comp: jnp.ndarray, k: int, min_area: float
 
 
 def _pair_counts(masks: jnp.ndarray, weight_img: jnp.ndarray) -> jnp.ndarray:
-    """(K, HW) x (HW,) -> (K, K) matrix of sum_p m_i(p) m_j(p) w(p)."""
+    """(K, HW) x (HW,) -> (K, K) matrix of sum_p m_i(p) m_j(p) w(p).
+
+    HIGHEST precision: adjacency/edge-composition COUNTS feed threshold
+    comparisons; bf16 sums over 77k elements drift ~1% and make merge
+    decisions platform-dependent."""
     mw = masks * weight_img.reshape(-1)[None, :]
-    return jnp.matmul(mw, masks.T, precision=jax.lax.Precision.DEFAULT)
+    return jnp.matmul(mw, masks.T, precision=jax.lax.Precision.HIGHEST)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -174,7 +178,8 @@ def rag_merge(
     feat_cols = jnp.concatenate(
         [jnp.stack([jnp.ones_like(xs), xs, ys, zs], axis=-1), bin_onehot],
         axis=-1)                                              # (HW/4, 4+16)
-    F = jnp.matmul(M, feat_cols, precision=jax.lax.Precision.DEFAULT)  # (K, 20)
+    # HIGHEST: areas/centers/histogram counts feed merge thresholds
+    F = jnp.matmul(M, feat_cols, precision=_HI)           # (K, 20)
     cnt = F[:, 0]                        # half-res pixel counts (= area / 4)
     centers = F[:, 1:4] / jnp.maximum(cnt[:, None], 1.0)
     hist = F[:, 4:]

@@ -65,6 +65,13 @@ class LocalMap:
         # these instead of per-keyframe set intersections
         self._obs_pid = np.zeros(0, np.int64)
         self._obs_kf = np.zeros(0, np.int32)
+        # monocular mode (slam.mono): BA windows anchor TWO keyframes —
+        # mono-only observations leave the global SCALE as a gauge freedom
+        # that a single fixed pose does not remove, and the GN step along
+        # that null direction explodes (measured: the two-view init map's
+        # depths went negative). Two anchors pin scale; for the two-view
+        # init window this degenerates to structure-only refinement.
+        self.mono = False
 
     # ------------------------------------------------------------- points
 
@@ -109,7 +116,7 @@ class LocalMap:
         recent = self.valid & (age <= 3)
         ratio = self.n_found / np.maximum(self.n_visible, 1)
         bad = recent & (ratio < 0.25)
-        bad |= recent & (age >= 2) & (self.n_obs <= 3)
+        bad |= recent & (age >= 2) & (self.n_obs <= self.cfg.cull_th_obs)
         n = int(bad.sum())
         self.valid[bad] = False
         if n:
@@ -348,6 +355,8 @@ class LocalMap:
                                         (K - len(window), 4, 4))])
         fixed = np.zeros(K, bool)
         fixed[0] = True                      # gauge anchor: oldest in window
+        if self.mono and len(window) >= 2:
+            fixed[1] = True                  # mono: second anchor pins scale
         fixed[len(window):] = True           # padding poses are inert
 
         problem = BAProblem(

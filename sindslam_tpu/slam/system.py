@@ -67,6 +67,12 @@ class SlamSystem:
 
         self.relocalizer = Relocalizer(cfg)
         self.enable_loop_closing = True
+        # Monocular mode (set by slam.mono.MonocularSystem): frames carry
+        # no depth channel, so the motion-model stage's unprojection of the
+        # previous frame is fed VIRTUAL depths of its map-point matches —
+        # the reference's mono TrackWithMotionModel tracks the last frame's
+        # MapPoints' 3-D positions, not a depth image (Tracking.cc:903).
+        self.mono_depth_from_map = False
         # deferred keyframe work (LocalMapping-thread role, see
         # _service_mapping): list of ("tri"|"ba", ...) stages, serviced one
         # per tracked frame
@@ -219,8 +225,21 @@ class SlamSystem:
             self._service_mapping()
 
         self._record(timestamp)
+        if self.mono_depth_from_map:
+            frame = self._patch_depth_from_map(frame, m, ids)
         self.prev_frame = frame
         return self.Tcw.copy(), is_kf
+
+    def _patch_depth_from_map(self, frame: FrameData, m, ids) -> FrameData:
+        """Virtual depths for matched keypoints from their map points'
+        camera-frame z (mono motion-model support; see mono_depth_from_map)."""
+        sv = np.asarray(m.valid) & (ids >= 0)
+        depth = np.zeros(frame.xy.shape[0], np.float32)
+        if sv.any():
+            kp = np.asarray(m.idx)[sv]
+            Xc = self.map.pos[ids[sv]] @ self.Tcw[:3, :3].T + self.Tcw[:3, 3]
+            depth[kp] = np.maximum(Xc[:, 2], 0.0)
+        return frame._replace(depth=jnp.asarray(depth))
 
     # ------------------------------------------------------------ helpers
 
