@@ -56,10 +56,8 @@ def main() -> int:
 
     # persistent compile cache: TPU compiles go through a remote service and
     # can take minutes; cache them across runs
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(os.path.dirname(
-                          os.path.abspath(__file__))), ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    from sindslam_tpu.utils import setup_compilation_cache
+    setup_compilation_cache()
 
     from sindslam_tpu.config import ORBConfig, SystemConfig, system_config_from_yaml
     from sindslam_tpu.datasets.tum import write_tum_trajectory

@@ -32,10 +32,8 @@ def main() -> int:
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(os.path.dirname(
-                          os.path.abspath(__file__))), ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    from sindslam_tpu.utils import setup_compilation_cache
+    setup_compilation_cache()
     import jax.numpy as jnp
 
     from sindslam_tpu.config import CameraConfig, ORBConfig, SystemConfig, TrackingConfig

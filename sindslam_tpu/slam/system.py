@@ -277,7 +277,10 @@ class SlamSystem:
             # Tracking.cc:987); here only the observation association is made.
             src = np.where(mv)[0]
             pids = map_ids[src]
-            keep = pids >= 0
+            # the match bookkeeping predates flush_mapping above: a deferred
+            # cull/fuse may have killed or redirected a point since — the
+            # reference's threads guard the same race with isBad()
+            keep = (pids >= 0) & self.map.valid[np.maximum(pids, 0)]
             point_ids[tgt[src[keep]]] = pids[keep]
 
         # unmatched keypoints with valid depth spawn new points

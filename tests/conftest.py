@@ -22,10 +22,17 @@ import jax  # noqa: E402
 jax.config.update("jax_platform_name", "cpu")
 
 # Persistent compilation cache: the heavy fused front-end graphs take minutes
-# to compile even on CPU; cache them across test runs.
+# to compile even on CPU; cache them across test runs. The CPU cache is a
+# SEPARATE directory from the TPU one (.jax_cache): CPU AOT executables are
+# machine-specific, and entries written by a different host (earlier rounds
+# ran on other machine types; every load warns "could lead to execution
+# errors such as SIGILL") eventually DID segfault mid-suite in
+# jax compilation_cache.get_executable_and_time. A per-machine CPU cache
+# avoids loading foreign executables; TPU artifacts are device-targeted and
+# unaffected.
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(os.path.dirname(
-                      os.path.abspath(__file__))), ".jax_cache"))
+                      os.path.abspath(__file__))), ".jax_cache_cpu"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import numpy as np  # noqa: E402

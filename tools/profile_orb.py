@@ -12,10 +12,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(os.path.dirname(
-                      os.path.abspath(__file__))), ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+from sindslam_tpu.utils import setup_compilation_cache
+setup_compilation_cache()
 
 from sindslam_tpu.config import ORBConfig
 from sindslam_tpu.frontend import orb as orb_mod
