@@ -156,8 +156,7 @@ class DynaDetector:
         self._prev_labels = kml
         self._prev_high = fm.high_mask
         self._prev_mask = mask
-        self._prev_ratio_img = fu.dynamic_ratio[
-            jnp.clip(rr.label_img, 0, fu.dynamic_ratio.shape[0] - 1)]
+        self._prev_ratio_img = fu.ratio_img
         self._dyn_score = fu.dyn_score
         self._dyn_depth = fu.dyn_depth
         self._frame_idx += 1

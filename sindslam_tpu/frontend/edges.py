@@ -218,7 +218,9 @@ def plane_segmentation(depth_m: jnp.ndarray, cam: CameraConfig, cfg: DynaConfig
         best = jnp.where((best > 0) & (jumped > 0), jnp.minimum(best, jumped), best)
         return best, None
 
-    block_labels, _ = lax.scan(prop, init, None, length=24)
+    # unrolled: each iteration is ~10 tiny block-grid ops, pure loop latency
+    # as a while-loop (r3 ablation)
+    block_labels, _ = lax.scan(prop, init, None, length=24, unroll=24)
 
     # --- per-pixel assignment: point-to-plane distance against own block
     vs = jnp.arange(h, dtype=jnp.float32)[:, None]
@@ -229,12 +231,21 @@ def plane_segmentation(depth_m: jnp.ndarray, cam: CameraConfig, cfg: DynaConfig
     z = jnp.where(pvalid, depth_m, 0.0)
     pts = jnp.stack([(us - cam.cx) / cam.fx * z, (vs - cam.cy) / cam.fy * z, z],
                     axis=-1)
-    by = jnp.clip(jnp.arange(h) // B, 0, bh - 1)
-    bx = jnp.clip(jnp.arange(w) // B, 0, bw - 1)
-    n_img = normal[by][:, bx]
-    o_img = offset[by][:, bx]
-    lbl_img = block_labels[by][:, bx]
-    tol_img = (3.0 * tol)[by][:, bx]
+    # block->pixel broadcast by repeat + edge pad (NOT row/col gathers: the
+    # arr[by][:, bx] form lowered to ~2 Mpx of point gathers on this TPU
+    # runtime — r3 trace, edges.py:236-239)
+    def _block_up(a):
+        up = jnp.repeat(jnp.repeat(a, B, axis=0), B, axis=1)
+        ph, pw = h - up.shape[0], w - up.shape[1]
+        if ph or pw:
+            up = jnp.pad(up, [(0, ph), (0, pw)] + [(0, 0)] * (a.ndim - 2),
+                         mode="edge")
+        return up
+
+    n_img = _block_up(normal)
+    o_img = _block_up(offset)
+    lbl_img = _block_up(block_labels)
+    tol_img = _block_up(3.0 * tol)
     dist = jnp.abs(jnp.sum(n_img * pts, axis=-1) - o_img)
     plane_px = jnp.where((lbl_img > 0) & (dist < tol_img) & pvalid, lbl_img, 0)
 
@@ -251,7 +262,7 @@ def plane_segmentation(depth_m: jnp.ndarray, cam: CameraConfig, cfg: DynaConfig
     keep = areas >= cfg.plane_min_support
     # broadcast keep back through the block grid (static row/col indexing)
     # rather than a 307k-pixel dynamic gather
-    keep_img = keep[block_labels][by][:, bx]
+    keep_img = _block_up(keep[block_labels])
     plane_px = jnp.where(keep_img & (plane_px > 0), plane_px, 0)
 
     labels = jnp.where(plane_px > 0, plane_px, -1).astype(jnp.int32)

@@ -71,12 +71,13 @@ def _threshold_ladder(mag: jnp.ndarray, valid: jnp.ndarray, cfg: DynaConfig
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Otsu+Triangle thresholds in pixels, with the reference's clamp ladder.
 
-    The histogram runs on a 2x-subsampled field via a one-hot matmul: the
-    thresholds are distribution statistics (quarter sampling doesn't move
-    them), and a 307k-element scatter serializes on TPU.
+    The histogram runs on a 4x-subsampled field via a one-hot matmul: the
+    thresholds are distribution statistics (1/16 sampling doesn't move
+    them), a 307k-element scatter serializes on TPU, and the 2x-subsampled
+    one-hot was still a 78 MB HBM materialization (r3 ablation).
     """
-    m2 = mag[::2, ::2]
-    w2 = valid[::2, ::2].astype(jnp.float32)
+    m2 = im.subsample(mag, 4)
+    w2 = im.subsample(valid, 4).astype(jnp.float32)
     idx = jnp.clip((m2 / _HIST_MAX_PX * _HIST_BINS).astype(jnp.int32),
                    0, _HIST_BINS - 1).reshape(-1)
     onehot = (idx[:, None] == jnp.arange(_HIST_BINS)[None, :]).astype(jnp.float32)
@@ -180,12 +181,14 @@ def _parallax_consistency(ru: jnp.ndarray, rv: jnp.ndarray,
     med_err = jnp.nanmedian(jnp.where(w0 > 0, err2, jnp.nan))
     model_ok = jnp.nan_to_num(med_err, nan=1e9) < cfg.parallax_fit_med_px
 
-    # dense prediction + per-pixel test
-    yyf, xxf = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
-    Auf, Avf = design(yyf.reshape(-1), xxf.reshape(-1),
-                      inv_z_img.reshape(-1))
-    pu = (Auf @ theta).reshape(h, w)
-    pv = (Avf @ theta).reshape(h, w)
+    # dense prediction + per-pixel test — written ELEMENTWISE (materializing
+    # the (2HW, 6) design matrix is a 15 MB x2 HBM round trip; these fuse
+    # into one VPU pass)
+    xtf = (jnp.arange(w, dtype=jnp.float32)[None, :] - cx) / w
+    ytf = (jnp.arange(h, dtype=jnp.float32)[:, None] - cy) / h
+    t0, t1, t2, t3, t4, t5 = (theta[i] for i in range(6))
+    pu = inv_z_img * (t0 + t2 * xtf) - (t3 + t5 * xtf)
+    pv = inv_z_img * (t1 + t2 * ytf) - (t4 + t5 * ytf)
     miss = jnp.sqrt((ru - pu) ** 2 + (rv - pv) ** 2)
     pred_mag = jnp.sqrt(pu * pu + pv * pv)
     tol = jnp.maximum(cfg.parallax_tol_px, cfg.parallax_tol_rel * pred_mag)

@@ -34,6 +34,10 @@ _FILL_K_H = 5    # growth kernel at HALF res (~= the r2 full-res 9)
 class FusionResult(NamedTuple):
     dyna_mask: jnp.ndarray        # (H, W) int32: 255 / 125 / 0
     dynamic_ratio: jnp.ndarray    # (_K_LABELS,) per-label dynamic fraction
+    ratio_img: jnp.ndarray        # (H, W) f32 per-pixel cluster dynamic
+    #   ratio (dynamic_ratio[label_img], computed in-graph by a one-hot
+    #   matmul — a full-res 307k-index gather costs ~2.8 ms on the TPU
+    #   scalar unit, the matmul rides the MXU)
     filled: jnp.ndarray           # (H, W) bool pre-dilation dynamic region
     dyn_score: jnp.ndarray        # (H, W) f32 decaying per-pixel dynamic
     #   evidence (temporal persistence state; feed back as prev_dyn_score)
@@ -60,7 +64,7 @@ def _per_label_sums(values: jnp.ndarray, onehot: jnp.ndarray) -> jnp.ndarray:
                       precision=jax.lax.Precision.HIGHEST)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "debug_skip"))
 def fuse_masks(
     low_mask: jnp.ndarray,        # bool (H, W) from flow_residual_mask
     high_mask: jnp.ndarray,       # bool (H, W)
@@ -74,6 +78,8 @@ def fuse_masks(
     #   dynamic score from the previous frame; None disables persistence
     prev_dyn_depth: jnp.ndarray | None = None,  # (H, W) f32 evidence depth
     depth_m: jnp.ndarray | None = None,         # (H, W) f32 current depth
+    debug_skip: tuple = (),  # dev-only: internal stages to stub out when
+    #   profiling marginal costs (tools/profile_fuse_ablation.py)
 ) -> FusionResult:
     h, w = low_mask.shape
 
@@ -83,11 +89,15 @@ def fuse_masks(
     # anyway, while the per-label one-hot matmuls (307k x 33 f32 = 40 MB a
     # piece at full res) and the 12-iteration grow loop dominate the
     # stage's HBM traffic (r3 ablation: fuse ~2nd-hottest stage).
-    label_h = label_img[::2, ::2]
-    valid_h = valid[::2, ::2]
+    # NB: every 2x downsample here goes through im.subsample/block_or2 —
+    # a strided slice of a tiled image lowers to a ~0.8 ms scalar-unit
+    # gather on this TPU runtime (r3 trace: ~7 ms/frame of [::2] slices in
+    # this stage alone); the selection matmuls are ~µs on the MXU.
+    label_h = im.subsample(label_img)
+    valid_h = im.subsample(valid)
     onehot_h = _label_onehot(label_h)                   # (HW/4, 33), shared
 
-    low_h = ((low_mask | prev_high_mask) & valid)[::2, ::2]
+    low_h = im.subsample((low_mask | prev_high_mask) & valid)
     low_h = im.dilate(low_h.astype(jnp.float32), 3,
                       iterations=max(cfg.fuse_dilate_iters // 2, 1)) > 0.5
     high = high_mask & valid
@@ -103,36 +113,39 @@ def fuse_masks(
     # roundness invariant): the eligible regions are fat blobs (min area 100
     # at full res), so granularity survives, and the pointer-jumping gathers
     # + segment_sums that dominate fusion cost shrink 4x vs half res.
-    high_2 = high_in[::2, ::2] | high_in[1::2, ::2] | high_in[::2, 1::2] | high_in[1::2, 1::2]
-    high_h = high_2[::2, ::2] | high_2[1::2, ::2] | high_2[::2, 1::2] | high_2[1::2, 1::2]
-    if jax.default_backend() == "tpu":
-        from sindslam_tpu.ops.pallas_kernels import cc_labels_pallas
-
-        qh, qw = high_h.shape
-        idx0 = (jnp.arange(qh * qw, dtype=jnp.int32) + 1).reshape(qh, qw)
-        seed = jnp.where(high_h, idx0, 0)
-        comp_h = cc_labels_pallas(seed, high_h, high_h, n_sweeps=256)
+    high_2 = im.block_or2(high_in)
+    high_h = im.block_or2(high_2)
+    if "cc" in debug_skip:
+        elig_half = high_2
     else:
-        comp_h = im.connected_relabel(high_h, n_iters=24)
-    hh, hw = comp_h.shape
-    comp_flat_h = comp_h.reshape(-1)
-    n_seg = hh * hw + 1
-    area_c = jax.ops.segment_sum(high_h.reshape(-1).astype(jnp.float32),
-                                 comp_flat_h, num_segments=n_seg)
-    interior_h = im.erode(high_h.astype(jnp.float32), 3) > 0.5
-    perim_c = jax.ops.segment_sum((high_h & ~interior_h).reshape(-1).astype(jnp.float32),
-                                  comp_flat_h, num_segments=n_seg)
-    roundness_c = 4.0 * jnp.pi * area_c / jnp.maximum(perim_c * perim_c, 1.0)
-    eligible_c = ((area_c > cfg.flood_min_area / 16.0)
-                  & (roundness_c > cfg.flood_roundness)) \
-        | (area_c > cfg.flood_big_area / 16.0)
-    eligible_c = eligible_c.at[0].set(False)
+        if jax.default_backend() == "tpu":
+            from sindslam_tpu.ops.pallas_kernels import cc_labels_pallas
 
-    # --- geodesic growth of eligible high seeds through the low mask, at
-    # half res (kernel halved to cover the same metric reach per iteration)
-    elig_q = eligible_c[comp_flat_h].reshape(hh, hw)
-    elig_half = jnp.repeat(jnp.repeat(elig_q, 2, axis=0), 2, axis=1)[
-        :label_h.shape[0], :label_h.shape[1]]
+            qh, qw = high_h.shape
+            idx0 = (jnp.arange(qh * qw, dtype=jnp.int32) + 1).reshape(qh, qw)
+            seed = jnp.where(high_h, idx0, 0)
+            comp_h = cc_labels_pallas(seed, high_h, high_h, n_sweeps=256)
+        else:
+            comp_h = im.connected_relabel(high_h, n_iters=24)
+        hh, hw = comp_h.shape
+        comp_flat_h = comp_h.reshape(-1)
+        n_seg = hh * hw + 1
+        area_c = jax.ops.segment_sum(high_h.reshape(-1).astype(jnp.float32),
+                                     comp_flat_h, num_segments=n_seg)
+        interior_h = im.erode(high_h.astype(jnp.float32), 3) > 0.5
+        perim_c = jax.ops.segment_sum((high_h & ~interior_h).reshape(-1).astype(jnp.float32),
+                                      comp_flat_h, num_segments=n_seg)
+        roundness_c = 4.0 * jnp.pi * area_c / jnp.maximum(perim_c * perim_c, 1.0)
+        eligible_c = ((area_c > cfg.flood_min_area / 16.0)
+                      & (roundness_c > cfg.flood_roundness)) \
+            | (area_c > cfg.flood_big_area / 16.0)
+        eligible_c = eligible_c.at[0].set(False)
+
+        # --- geodesic growth of eligible high seeds through the low mask, at
+        # half res (kernel halved to cover the same metric reach per iteration)
+        elig_q = eligible_c[comp_flat_h].reshape(hh, hw)
+        elig_half = jnp.repeat(jnp.repeat(elig_q, 2, axis=0), 2, axis=1)[
+            :label_h.shape[0], :label_h.shape[1]]
     seed_h = high_2 & elig_half
     grow_zone_h = low_h & (label_h > 0)
 
@@ -145,7 +158,11 @@ def fuse_masks(
         ok = (g == label_h) & (g > 0) & grow_zone_h
         return ok | s, None
 
-    filled_h, _ = lax.scan(grow_labeled, seed_h, None, length=_FILL_ITERS)
+    if "grow" in debug_skip:
+        filled_h = seed_h
+    else:
+        filled_h, _ = lax.scan(grow_labeled, seed_h, None,
+                               length=_FILL_ITERS, unroll=_FILL_ITERS)
 
     # --- whole-cluster promotion (ratios are resolution-invariant).
     # Temporal persistence: the promotion test uses the MAX of current fill
@@ -156,11 +173,14 @@ def fuse_masks(
     if prev_ratio_img is None:
         prev_ratio_h = jnp.zeros_like(label_h, dtype=jnp.float32)
     else:
-        prev_ratio_h = prev_ratio_img[::2, ::2].astype(jnp.float32)
-    sums = _per_label_sums(
-        jnp.stack([filled_h.reshape(-1).astype(jnp.float32),
-                   prev_ratio_h.reshape(-1),
-                   high_2.reshape(-1).astype(jnp.float32)]), onehot_h)
+        prev_ratio_h = im.subsample(prev_ratio_img).astype(jnp.float32)
+    if "promote" in debug_skip:
+        sums = jnp.zeros((3, _K_LABELS), jnp.float32)
+    else:
+        sums = _per_label_sums(
+            jnp.stack([filled_h.reshape(-1).astype(jnp.float32),
+                       prev_ratio_h.reshape(-1),
+                       high_2.reshape(-1).astype(jnp.float32)]), onehot_h)
     fill_area = sums[0]
     frac = fill_area / jnp.maximum(clus_area, 1.0)
     prev_mean = sums[1] / jnp.maximum(clus_area, 1.0)
@@ -181,13 +201,17 @@ def fuse_masks(
     persist = jnp.maximum(frac_ev, prev_mean * cfg.persist_ratio_decay)
     full_dyn = persist > cfg.cluster_dynamic_frac
     full_dyn = full_dyn.at[0].set(False)
-    dynamic_h = filled_h | (full_dyn[jnp.clip(label_h, 0, _K_LABELS - 1)]
-                            & (label_h > 0))
-
-    # the carried ratio is EVIDENCE-based (max of gated fill fraction and
-    # the decayed previous ratio), NOT the post-promotion coverage —
-    # otherwise a once-promoted cluster would self-sustain forever
+    # per-pixel lookup of the 33-entry per-label tables by ONE one-hot
+    # matmul (label gathers at half res cost ~0.7 ms each on the scalar
+    # unit; the (HW/4, 33) x (33, 2) contraction is MXU work). Column 0 is
+    # zeroed in both tables, so invalid pixels read 0.
     dynamic_ratio = persist.at[0].set(0.0)
+    tables = jnp.stack([full_dyn.astype(jnp.float32), dynamic_ratio], -1)
+    px_tab = jnp.matmul(onehot_h, tables,
+                        precision=jax.lax.Precision.HIGHEST)
+    full_dyn_px = px_tab[:, 0].reshape(label_h.shape) > 0.5
+    ratio_h = px_tab[:, 1].reshape(label_h.shape)
+    dynamic_h = filled_h | (full_dyn_px & (label_h > 0))
 
     # --- per-pixel temporal persistence: dynamic evidence decays over
     # frames instead of vanishing the instant the flow residual does. A
@@ -196,18 +220,21 @@ def fuse_masks(
     # ~log(0.5)/log(decay) frames, then releases. Evidence-only update: the
     # score never feeds on its own thresholded output, so it cannot
     # self-sustain.
+    if "persist" in debug_skip:
+        prev_dyn_score = None
+        prev_dyn_depth = None
+        depth_m = None
     if prev_dyn_score is None:
         prev_score_h = jnp.zeros_like(label_h, dtype=jnp.float32)
     else:
-        prev_score_h = prev_dyn_score[::2, ::2].astype(jnp.float32)
+        prev_score_h = im.subsample(prev_dyn_score).astype(jnp.float32)
     # Persistence EVIDENCE is high-residual pixels and promoted clusters —
     # NOT low-mask fills: residual parallax repaints the same low-mask
     # carpet every frame, so fill-fed scores would accumulate false
     # positives indefinitely over static background (measured: 50k+ px by
     # frame 7 at full res). High evidence is Otsu-gated and parallax/
     # photometric-filtered; promotions are corroborated by high coverage.
-    evidence_h = high_2 | (full_dyn[jnp.clip(label_h, 0, _K_LABELS - 1)]
-                           & (label_h > 0))
+    evidence_h = high_2 | (full_dyn_px & (label_h > 0))
     # depth-change release (the reference's own 13% occlusion-veto law,
     # octomap_pub/src/pubPointCloud.cc:600): evidence remembers the depth
     # it was observed at; where the scene depth has since changed, the
@@ -215,11 +242,11 @@ def fuse_masks(
     # is evicted instead of decayed. A paused mover keeps its depth, so it
     # keeps its mask.
     if depth_m is not None:
-        d_h = depth_m[::2, ::2].astype(jnp.float32)
+        d_h = im.subsample(depth_m).astype(jnp.float32)
         if prev_dyn_depth is None:
             prev_depth_h = d_h
         else:
-            prev_depth_h = prev_dyn_depth[::2, ::2].astype(jnp.float32)
+            prev_depth_h = im.subsample(prev_dyn_depth).astype(jnp.float32)
         depth_ok = jnp.abs(d_h - prev_depth_h) < \
             jnp.maximum(0.3, 0.13 * prev_depth_h)
         carried = prev_score_h * cfg.persist_ratio_decay * depth_ok
@@ -238,10 +265,15 @@ def fuse_masks(
     dyn_score = jnp.repeat(jnp.repeat(score_h, 2, axis=0), 2, axis=1)[:h, :w]
     dyn_depth = jnp.repeat(jnp.repeat(depth_store_h, 2, axis=0), 2,
                            axis=1)[:h, :w]
-    dyn_wide = im.dilate(dynamic.astype(jnp.float32), 3,
-                         iterations=cfg.final_dilate_iters) > 0.5
+    ratio_img = jnp.repeat(jnp.repeat(ratio_h, 2, axis=0), 2, axis=1)[:h, :w]
+    if "dilate" in debug_skip:
+        dyn_wide = dynamic
+    else:
+        dyn_wide = im.dilate(dynamic.astype(jnp.float32), 3,
+                             iterations=cfg.final_dilate_iters) > 0.5
     mask = jnp.where(dyn_wide & valid, cfg.mask_dynamic,
                      jnp.where(valid, cfg.mask_static, cfg.mask_invalid))
     return FusionResult(dyna_mask=mask.astype(jnp.int32),
-                        dynamic_ratio=dynamic_ratio, filled=dynamic,
+                        dynamic_ratio=dynamic_ratio, ratio_img=ratio_img,
+                        filled=dynamic,
                         dyn_score=dyn_score, dyn_depth=dyn_depth)

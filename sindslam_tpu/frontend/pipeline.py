@@ -144,8 +144,7 @@ def frontend_step(
         prev_labels=kml,
         prev_mask=fu.dyna_mask,
         prev_high=fm.high_mask,
-        ratio_img=fu.dynamic_ratio[
-            jnp.clip(rr.label_img, 0, fu.dynamic_ratio.shape[0] - 1)],
+        ratio_img=fu.ratio_img,
         dyn_score=fu.dyn_score,
         dyn_depth=fu.dyn_depth,
         key=key,

@@ -134,9 +134,9 @@ def rag_merge(
     # min-label propagation + pointer jumping is gather-heavy, and component
     # granularity (min area 80 px) survives 2x downsampling. Edges stay >= 1
     # px wide at half res so they still separate regions.
-    lab_h = kmeans_labels[::2, ::2]
+    lab_h = im.subsample(kmeans_labels)
     seg_mask = valid & (kmeans_labels >= 0) & ~edges
-    mask_h = seg_mask[::2, ::2]
+    mask_h = im.subsample(seg_mask)
     if jax.default_backend() == "tpu":
         # VMEM-resident sweep kernel: ~0.4 ms vs ~5 ms for the XLA
         # pointer-jumping relabel (each jump is a 77k-element random gather)
@@ -149,12 +149,6 @@ def rag_merge(
     else:
         comp_h = components_from_labels(lab_h, mask_h, n_iters=32)
     cid_h, _areas_h = _compact_topk(comp_h, K, float(cfg.min_cluster_area) / 4.0)
-    comp_id = jnp.repeat(jnp.repeat(cid_h, 2, axis=0), 2, axis=1)[:h, :w]
-    comp_id = jnp.where(seg_mask, comp_id, -1)
-
-    flat_id = comp_id.reshape(-1)
-    flat_ok = flat_id >= 0
-
     # ---- node + pairwise features ENTIRELY at half resolution: the K x HW
     # one-hot masks are the stage's HBM bill (32 x 307k f32 = 39 MB per
     # materialization at full res; the r3 ablation measured rag_merge at
@@ -170,7 +164,7 @@ def rag_merge(
     M = onehot.reshape(K, h2 * w2)
     ys = (jnp.arange(h2 * w2) // w2).astype(jnp.float32)
     xs = (jnp.arange(h2 * w2) % w2).astype(jnp.float32)
-    zs = depth_m[::2, ::2].reshape(-1)
+    zs = im.subsample(depth_m).reshape(-1)
     bin_idx = jnp.clip((zs / cfg.max_depth_m * _HIST_BINS).astype(jnp.int32),
                        0, _HIST_BINS - 1)
     bin_onehot = (bin_idx[:, None] == jnp.arange(_HIST_BINS)[None, :]
@@ -194,8 +188,8 @@ def rag_merge(
     # The shared zone is ~_DILATE_ADJ_H wide while edges are thin: dilate
     # the edge images to a comparable width before measuring composition, so
     # a genuine depth-edge interface reads edge_frac ~ 1, not ~ 0.3.
-    edges_h = edges[::2, ::2].astype(jnp.float32)
-    plane_h = plane_edges[::2, ::2].astype(jnp.float32)
+    edges_h = im.subsample(edges).astype(jnp.float32)
+    plane_h = im.subsample(plane_edges).astype(jnp.float32)
     edges_wide = im.dilate(edges_h, _DILATE_ADJ_H)
     plane_wide = im.dilate(plane_h, _DILATE_ADJ_H)
     boundary_edge = _pair_counts(dil, edges_wide)
@@ -270,16 +264,27 @@ def rag_merge(
         return (new_parent, score_m), None
 
     parent0 = jnp.arange(K)
+    # fully unrolled: each iteration is ~10 serialized 32x32 ops, so the
+    # while-loop form is pure per-iteration latency (~0.3 ms each, r3
+    # ablation); unrolled, XLA schedules the chain back-to-back
     (parent, _), _ = lax.scan(merge_step, (parent0, score), None,
-                              length=_MERGE_STEPS)
+                              length=_MERGE_STEPS, unroll=_MERGE_STEPS)
     root = roots_of(parent)
 
     # ---- compact final labels 1..N
     is_root = (root == jnp.arange(K)) & node_ok
     final_rank = jnp.cumsum(is_root.astype(jnp.int32)) * is_root  # 1..N at roots
     label_of_node = final_rank[root]                               # (K,)
-    lbl_flat = jnp.where(flat_ok, label_of_node[jnp.maximum(flat_id, 0)], 0)
-    label_img = lbl_flat.reshape(h, w)
+    # node->pixel label lookup through the existing half-res one-hot (a
+    # 307k point gather on the 32-entry table costs ~3 ms on the TPU scalar
+    # unit; the (1, K) x (K, HW/4) matmul + 2x repeat is ~µs). Pixels whose
+    # half-res parent has no component read 0, exactly like the flat_ok
+    # branch did.
+    lbl_h = jnp.matmul(label_of_node.astype(jnp.float32)[None, :],
+                       onehot.reshape(K, h2 * w2),
+                       precision=_HI).reshape(h2, w2).astype(jnp.int32)
+    lbl_full = jnp.repeat(jnp.repeat(lbl_h, 2, axis=0), 2, axis=1)[:h, :w]
+    label_img = jnp.where(seg_mask, lbl_full, 0)
 
     # ---- geodesic growth: unassigned valid pixels (edges, small comps)
     # adopt the most common neighboring label
@@ -288,7 +293,7 @@ def rag_merge(
         grown = im.dilate(f, 3)
         return jnp.where((lbl == 0) & valid, grown.astype(jnp.int32), lbl), None
 
-    label_img, _ = lax.scan(grow, label_img, None, length=6)
+    label_img, _ = lax.scan(grow, label_img, None, length=6, unroll=6)
     label_img = jnp.where(valid, label_img, 0)
 
     # aggregated root features for downstream consumers: S^T (K-node feats),

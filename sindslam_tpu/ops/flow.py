@@ -392,7 +392,13 @@ def flow_fallback_from_pyramids(
     # evidence of motion — the mask stage excludes such pixels. One cheap
     # warp on the already-preprocessed [0, 1] working images.
     target_l0 = jnp.where(large_motion, pyr_m1[0], pyr_m2[0])
-    warped, inb = im.warp_by_flow(target_l0, u, v)
+    # mm warp: the 4-corner gather warp costs ~3.2 ms at working scale on
+    # the TPU scalar unit (r3 trace, image.py:117); the one-hot matmul
+    # formulation is ~0.45 ms on the MXU
+    if _use_pallas(cfg) and min(target_l0.shape) >= 96:
+        warped, inb = im.warp_by_flow_mm(target_l0, u, v)
+    else:
+        warped, inb = im.warp_by_flow(target_l0, u, v)
     photo_err_w = jnp.where(inb, jnp.abs(warped - pyr_cur[0]), 1.0)
     photo_err = im.resize_bilinear(photo_err_w, (H, W))
 

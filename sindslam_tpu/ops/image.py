@@ -71,6 +71,59 @@ def box_filter(img: jnp.ndarray, ksize: int) -> jnp.ndarray:
     return _sep_conv2d(img, k, k)
 
 
+def _stride_sel(n_out: int, n_in: int, stride: int, width: int = 1
+                ) -> jnp.ndarray:
+    """(n_out, n_in) f32 selection matrix: row i has ones at columns
+    i*stride .. i*stride+width-1 (built from iota comparisons — no gathers)."""
+    cols = jnp.arange(n_in)[None, :]
+    lo = (jnp.arange(n_out) * stride)[:, None]
+    return ((cols >= lo) & (cols < lo + width)).astype(jnp.float32)
+
+
+def subsample(x: jnp.ndarray, stride: int = 2, _force_mm: bool = False
+              ) -> jnp.ndarray:
+    """Exact ``x[::stride, ::stride]`` without TPU gather kernels.
+
+    On this TPU runtime a strided slice of a tiled 2-D array lowers to a
+    scalar-unit point gather (~10 ns/element: 0.8 ms per 240x320 slice —
+    the r3 trace showed ~10 ms/frame of these across rag/fuse). Two one-hot
+    selection matmuls produce the identical result on the MXU in ~µs.
+    Exact for bool/int and for f32 (one nonzero per row at HIGHEST: the
+    product 1.0*v and a single-term sum are exact). ``_force_mm`` runs the
+    matmul path on any backend (parity tests).
+    """
+    h, w = x.shape
+    h2, w2 = -(-h // stride), -(-w // stride)
+    if jax.default_backend() != "tpu" and not _force_mm:
+        return x[::stride, ::stride]
+    sr = _stride_sel(h2, h, stride)
+    sc = _stride_sel(w2, w, stride)
+    y = jnp.matmul(jnp.matmul(sr, x.astype(jnp.float32),
+                              precision=lax.Precision.HIGHEST), sc.T,
+                   precision=lax.Precision.HIGHEST)
+    if x.dtype == jnp.bool_:
+        return y > 0.5
+    if jnp.issubdtype(x.dtype, jnp.integer):
+        return jnp.round(y).astype(x.dtype)
+    return y.astype(x.dtype)
+
+
+def block_or2(x: jnp.ndarray, _force_mm: bool = False) -> jnp.ndarray:
+    """2x2 block OR of a bool image (== the OR of its four phase slices),
+    gather-free: 2-hot selection matmuls count the true cells per block."""
+    h, w = x.shape
+    h2, w2 = -(-h // 2), -(-w // 2)
+    if jax.default_backend() != "tpu" and not _force_mm:
+        p = jnp.pad(x, ((0, h2 * 2 - h), (0, w2 * 2 - w)))
+        return p[::2, ::2] | p[1::2, ::2] | p[::2, 1::2] | p[1::2, 1::2]
+    sr = _stride_sel(h2, h, 2, width=2)
+    sc = _stride_sel(w2, w, 2, width=2)
+    y = jnp.matmul(jnp.matmul(sr, x.astype(jnp.float32),
+                              precision=lax.Precision.HIGHEST), sc.T,
+                   precision=lax.Precision.HIGHEST)
+    return y > 0.5
+
+
 def resize_bilinear(img: jnp.ndarray, shape: Tuple[int, int]) -> jnp.ndarray:
     """Bilinear resize to (H', W'); channels preserved."""
     out_shape = shape + img.shape[2:]

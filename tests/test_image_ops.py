@@ -204,3 +204,34 @@ def test_warp_by_flow_mm_matches_gather():
                                atol=2e-2, rtol=0)
     # on CPU (f32 contractions) the agreement is tight
     assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-4
+
+
+def test_subsample_mm_matches_slice():
+    """The selection-matmul subsample (TPU fast path — strided slices lower
+    to ~0.8 ms scalar-unit gathers there) must equal the strided slice
+    EXACTLY for f32, int32 and bool, at strides 2 and 4, odd and even dims."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for (h, w) in [(480, 640), (241, 323)]:
+        f = rng.standard_normal((h, w)).astype(np.float32)
+        i = rng.integers(0, 33, (h, w)).astype(np.int32)
+        b = rng.random((h, w)) > 0.5
+        for stride in (2, 4):
+            for arr in (f, i, b):
+                got = np.asarray(im.subsample(jnp.asarray(arr), stride,
+                                              _force_mm=True))
+                np.testing.assert_array_equal(got, arr[::stride, ::stride])
+
+
+def test_block_or2_mm_matches_phases():
+    import numpy as np
+
+    rng = np.random.default_rng(8)
+    for (h, w) in [(480, 640), (121, 161)]:
+        x = rng.random((h, w)) > 0.8
+        got = np.asarray(im.block_or2(jnp.asarray(x), _force_mm=True))
+        p = np.zeros((h + h % 2, w + w % 2), bool)
+        p[:h, :w] = x
+        ref = p[::2, ::2] | p[1::2, ::2] | p[::2, 1::2] | p[1::2, 1::2]
+        np.testing.assert_array_equal(got, ref)

@@ -95,6 +95,7 @@ def step_ablated(rgb, depth_m, state, cfg, skip=()):
             dyna_mask = jnp.where(valid, cfg.dyna.mask_static, 0
                                   ).astype(jnp.int32)
             dynamic_ratio = jnp.zeros(cfg.dyna.max_clusters + 1)
+            ratio_img = jnp.zeros((H, W), jnp.float32)
             dyn_score = jnp.zeros((H, W), jnp.float32)
             dyn_depth = jnp.zeros((H, W), jnp.float32)
         fu = FU()
@@ -118,8 +119,7 @@ def step_ablated(rgb, depth_m, state, cfg, skip=()):
     new_state = P.FrontendState(
         pyr_m1=pyr_cur, pyr_m2=state.pyr_m1, prev_large=large_motion,
         prev_labels=kml, prev_mask=fu.dyna_mask, prev_high=fm.high_mask,
-        ratio_img=fu.dynamic_ratio[
-            jnp.clip(rr.label_img, 0, fu.dynamic_ratio.shape[0] - 1)],
+        ratio_img=fu.ratio_img,
         dyn_score=fu.dyn_score,
         dyn_depth=fu.dyn_depth,
         key=key)
