@@ -65,6 +65,13 @@ class LocalMap:
         # these instead of per-keyframe set intersections
         self._obs_pid = np.zeros(0, np.int64)
         self._obs_kf = np.zeros(0, np.int32)
+        # device-tensor cache for local_point_tensors: re-uploading the
+        # (P, 3)+(P, 8) local-map tensors EVERY tracked frame cost tens of
+        # ms through the axon tunnel; the map only changes at keyframe /
+        # mapping-integration events, so mutators bump _map_version and the
+        # tracker reuses the device copies in between
+        self._map_version = 0
+        self._lpt_cache = None
         # monocular mode (slam.mono): BA windows anchor TWO keyframes —
         # mono-only observations leave the global SCALE as a gauge freedom
         # that a single fixed pose does not remove, and the GN step along
@@ -72,6 +79,13 @@ class LocalMap:
         # depths went negative). Two anchors pin scale; for the two-view
         # init window this degenerates to structure-only refinement.
         self.mono = False
+
+
+    def bump_version(self) -> None:
+        """Invalidate the tracker's device-tensor cache after any map
+        mutation (also called by loop closing / load_map, which write
+        pos/Tcw directly)."""
+        self._map_version += 1
 
     # ------------------------------------------------------------- points
 
@@ -93,6 +107,7 @@ class LocalMap:
             self.created_kf[sl] = kf_id
             ids[:take] = np.arange(self._next, self._next + take)
             self._next += take
+            self.bump_version()
         return ids
 
     def cull_points(self, current_kf_id: int) -> int:
@@ -121,6 +136,7 @@ class LocalMap:
         self.valid[bad] = False
         if n:
             self._compact_obs()
+            self.bump_version()
         return n
 
     def _compact_obs(self) -> None:
@@ -184,6 +200,7 @@ class LocalMap:
         self._obs_pid = remap[self._obs_pid]
         self.valid[src] = False
         np.add.at(self.n_obs, dst, 1)
+        self.bump_version()
         return len(src)
 
     def cull_keyframes(self, protect_last: int = 3, redundancy: float = 0.9
@@ -210,6 +227,7 @@ class LocalMap:
                 n_culled += 1
         if n_culled:
             self._compact_obs()
+            self.bump_version()
         return n_culled
 
     # ---------------------------------------------------------- keyframes
@@ -226,6 +244,7 @@ class LocalMap:
         self._obs_pid = np.concatenate([self._obs_pid, seen])
         self._obs_kf = np.concatenate(
             [self._obs_kf, np.full(len(seen), kf.kf_id, np.int32)])
+        self.bump_version()
         return kf
 
     def add_observations(self, kf: KeyFrame, kp_idx: np.ndarray,
@@ -238,6 +257,7 @@ class LocalMap:
         self._obs_pid = np.concatenate([self._obs_pid, seen])
         self._obs_kf = np.concatenate(
             [self._obs_kf, np.full(len(seen), kf.kf_id, np.int32)])
+        self.bump_version()
 
     def covisible_keyframes(self, kf: KeyFrame, k: int = 10,
                             min_shared: int = 15) -> List[KeyFrame]:
@@ -401,6 +421,7 @@ class LocalMap:
         n_used = int((lut >= 0).sum())
         ids = lut[:n_used]
         self.pos[ids] = pts[:n_used]
+        self.bump_version()
         return _chi2
 
     def run_local_ba(self, window: Optional[List[KeyFrame]] = None
@@ -444,6 +465,10 @@ class LocalMap:
         P = cfg.ba_max_points
         if around_kf is None and self.keyframes:
             around_kf = self.keyframes[-1]
+        key = (self._map_version,
+               around_kf.kf_id if around_kf is not None else -1)
+        if self._lpt_cache is not None and self._lpt_cache[0] == key:
+            return self._lpt_cache[1]
         pid_arr = np.zeros(0, np.int64)
         if around_kf is not None:
             kfs = [around_kf] + self.covisible_keyframes(around_kf)
@@ -462,4 +487,6 @@ class LocalMap:
             pos[:n] = self.pos[pid_arr]
             desc[:n] = self.desc[pid_arr]
             ok[:n] = True
-        return jnp.asarray(pos), jnp.asarray(desc), jnp.asarray(ok), ids
+        out = (jnp.asarray(pos), jnp.asarray(desc), jnp.asarray(ok), ids)
+        self._lpt_cache = (key, out)
+        return out

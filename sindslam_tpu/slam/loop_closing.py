@@ -150,8 +150,11 @@ class Relocalizer:
         return True
 
     def add_keyframe(self, kf: KeyFrame) -> None:
-        desc = np.asarray(kf.frame.desc)
-        valid = np.asarray(kf.frame.valid)
+        # cached host copy (one packed readback at insertion) — an
+        # np.asarray(kf.frame.desc) here would cost two extra ~21 ms tunnel
+        # round trips per keyframe
+        desc = kf.h.desc
+        valid = kf.h.valid
         if self.vocab is None:
             self._pending_descs.append(desc[valid])
             self._pending_kfs.append(kf)
@@ -286,8 +289,8 @@ class Relocalizer:
             max_dist=self.cfg.tracking.hamming_th_low)
         mv = np.asarray(m.valid)
         tgt = np.asarray(m.idx)
-        dk = np.asarray(kf.frame.depth)
-        dc = np.asarray(cand.frame.depth)
+        dk = kf.h.depth
+        dc = cand.h.depth
         ok = mv & (dk > 0) & (dc[tgt.clip(0)] > 0)
         if ok.sum() < min_inliers:
             return False
@@ -399,5 +402,6 @@ class Relocalizer:
         # CorrectLoop, LoopClosing.cc:579,645): refine the whole map around
         # the pose-graph solution
         system.map.run_global_ba(passes=1)
+        system.map.bump_version()
         system.Tcw = kfs[-1].Tcw.astype(np.float32)
         system.velocity = np.eye(4, dtype=np.float32)

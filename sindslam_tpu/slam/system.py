@@ -544,6 +544,7 @@ class SlamSystem:
         if obs_pid:
             m._obs_pid = np.concatenate(obs_pid)
             m._obs_kf = np.concatenate(obs_kf)
+        m.bump_version()
         if m.keyframes:
             self.Tcw = m.keyframes[-1].Tcw.astype(np.float32)
             self.prev_frame = m.keyframes[-1].frame

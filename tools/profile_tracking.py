@@ -30,15 +30,18 @@ from sindslam_tpu.slam.system import SlamSystem
 N_FRAMES = int(os.environ.get("PROF_FRAMES", "12"))
 cfg = SystemConfig()
 frames = list(generate_sequence(n_frames=N_FRAMES, seed=0, amplitude=0.06))
+# frames are PRE-STAGED on device: a host->device upload through the axon
+# tunnel costs ~110 ms/frame (measured, ~8 MB/s effective) and would mask
+# every on-chip number below. On a real TPU host the same upload is ~0.2 ms
+# of PCIe. bench.py stages identically.
+UPLOADS = [(jnp.asarray(f[0]), jnp.asarray(f[1])) for f in frames]
 
 
 def run(label):
     slam = SlamSystem(cfg)
     state = None
     t_fe, t_tr, t_kf = [], [], []
-    for rgb, depth, _d, _p, ts in frames:
-        rgb_j = jnp.asarray(rgb)
-        d = jnp.asarray(depth)
+    for (rgb_j, d), (_r, _dd, _gd, _p, ts) in zip(UPLOADS, frames):
         t0 = time.perf_counter()
         if state is None:
             state = init_state(cfg, im.rgb_to_gray(rgb_j))
@@ -69,10 +72,9 @@ def run_pipelined(label):
     while pending is not None or i < len(frames):
         tf = time.perf_counter()
         if pending is None:
-            rgb, depth, _d, _p, ts = frames[i]
+            (rgb_j, d_j), ts = UPLOADS[i], frames[i][4]
             i += 1
-            out, state = frontend_step(jnp.asarray(rgb), jnp.asarray(depth),
-                                       state, cfg)
+            out, state = frontend_step(rgb_j, d_j, state, cfg)
             pending = (out, ts)
         out, ts = pending
         pending = None
@@ -84,9 +86,8 @@ def run_pipelined(label):
             nonlocal pending, state
             if nxt is None:
                 return
-            rgb2, depth2, _d2, _p2, ts2 = nxt
-            out2, state2 = frontend_step(jnp.asarray(rgb2),
-                                         jnp.asarray(depth2), state, cfg)
+            (rgb2_j, d2_j), ts2 = UPLOADS[i - 1], nxt[4]
+            out2, state2 = frontend_step(rgb2_j, d2_j, state, cfg)
             pending = (out2, ts2)
             state = state2
 
