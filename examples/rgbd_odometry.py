@@ -133,6 +133,12 @@ def main() -> int:
         # readback, so ~all front-end device time hides behind host-side
         # tracking/bookkeeping (the reference's detection-thread overlap,
         # via async dispatch instead of threads).
+        # The track readback itself is ALSO deferred one frame (the tracking
+        # thread publishing poses while bookkeeping lags, reference-style):
+        # per-frame Tcw below is then the motion-model prediction; the saved
+        # trajectory comes from slam.trajectory(), which replays the exact
+        # integrated poses.
+        slam.deferred_track = True
         from sindslam_tpu.slam.frame import frame_from_frontend
 
         it = iter(frames_iter)

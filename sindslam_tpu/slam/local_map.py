@@ -404,15 +404,18 @@ class LocalMap:
         res = local_bundle_adjustment(problem, self.cam, self.cfg)
         return (res, problem, window, lut)
 
-    def integrate_local_ba(self, handle) -> Optional[float]:
-        """Read back a dispatched BA and write poses/points into the map."""
+    def integrate_local_ba(self, handle, pre=None) -> Optional[float]:
+        """Read back a dispatched BA and write poses/points into the map.
+        ``pre`` is the flat host copy when the transfer already rode along
+        with a track readback (SlamSystem._integrate_track)."""
         if handle is None:
             return None
         res, problem, window, lut = handle
         from sindslam_tpu.slam.ba import unpack_ba_result
 
         poses, pts, _chi2 = unpack_ba_result(
-            np.asarray(res.packed), problem.poses.shape[0],
+            np.asarray(res.packed) if pre is None else pre,
+            problem.poses.shape[0],
             problem.points.shape[0])
         for s, kf in enumerate(window):
             if s == 0:

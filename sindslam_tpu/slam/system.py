@@ -77,6 +77,13 @@ class SlamSystem:
         # _service_mapping): list of ("tri"|"ba", ...) stages, serviced one
         # per tracked frame
         self._pending: List[tuple] = []
+        # one-frame-deferred track readback (see track_frame): the packed
+        # result of frame i is read back while frame i+1's device work runs,
+        # so the per-frame tunnel round trip overlaps compute. Off by
+        # default (mono/stereo layers and step-wise tests expect synchronous
+        # pose updates); the RGB-D driver/bench enable it.
+        self.deferred_track = False
+        self._track_pending: Optional[tuple] = None
 
     # ------------------------------------------------------------ tracking
 
@@ -103,38 +110,95 @@ class SlamSystem:
         callback that dispatches the NEXT frame's front-end, so its ~28 ms
         of device compute runs while the host waits on / processes this
         frame's results (the reference's tracking/detection thread overlap,
-        done with async dispatch instead of threads)."""
+        done with async dispatch instead of threads).
+
+        With ``deferred_track`` the packed result is read back one frame
+        LATE: call i integrates frame i-1 (its readback is then a pure
+        transfer — the device finished during the host's previous
+        iteration) and only dispatches frame i. Pose/keyframe bookkeeping
+        lags one frame, like the reference's tracking thread publishing
+        poses while LocalMapping still digests the previous keyframe; the
+        trajectory is identical because every frame is integrated in order
+        (``flush_tracking`` drains the tail). Returns the motion-model
+        prediction for frame i and the keyframe verdict of frame i-1.
+        """
         self._frame_count += 1
-        is_kf = False
         if not self.map.keyframes:
             self._initialize(frame, timestamp)
             if prefetch is not None:
                 prefetch()
             return self.Tcw.copy(), True
 
-        # 1 + 2) one fused device dispatch: motion-model tracking AND local-map
-        # refinement, with a single packed readback (tunnel round trips are
-        # ~25 ms each and dominate host-side tracking time otherwise)
-        from sindslam_tpu.slam.tracking import full_track_step, unpack_track_out
+        if not self.deferred_track:
+            pending = self._dispatch_track(frame, timestamp)
+            if prefetch is not None:   # overlap next front-end w/ readback
+                prefetch()
+            return self._integrate_track(pending)
+
+        was_kf = False
+        if self._track_pending is not None:
+            _, was_kf = self._integrate_track(self._track_pending)
+            self._track_pending = None
+        self._track_pending = self._dispatch_track(frame, timestamp)
+        self.prev_frame = frame
+        if prefetch is not None:
+            prefetch()
+        return self._track_pending[5].copy(), was_kf
+
+    def flush_tracking(self) -> None:
+        """Integrate a deferred in-flight track step (trajectory export,
+        shutdown, and checkpointing need every frame's true pose)."""
+        if self._track_pending is not None:
+            pending = self._track_pending
+            self._track_pending = None
+            self._integrate_track(pending)
+
+    def _dispatch_track(self, frame: FrameData, timestamp: float):
+        """Dispatch the fused track step for ``frame`` WITHOUT reading back.
+        Returns the pending tuple consumed by :meth:`_integrate_track`."""
+        from sindslam_tpu.slam.tracking import full_track_step
 
         Tcw_pred = (self.velocity @ self.Tcw).astype(np.float32)
         prev_Twc = np.linalg.inv(self.Tcw).astype(np.float32)
         pos, desc, ok, ids = self.map.local_point_tensors()
-        P = pos.shape[0]
         out = full_track_step(self.prev_frame, jnp.asarray(prev_Twc),
                               frame, jnp.asarray(Tcw_pred),
                               pos, desc, ok, self.cam, self.tcfg,
                               self.tcfg.search_radius_fine)
-        if prefetch is not None:   # overlap next front-end with the readback
-            prefetch()
-        # ONE device->host transfer for the whole step result
-        poses, counts, out_idx, flags = unpack_track_out(
-            np.asarray(out.packed), P)
+        return (frame, timestamp, out, self.prev_frame, prev_Twc, Tcw_pred,
+                pos, desc, ok, ids)
+
+    def _integrate_track(self, pending) -> Tuple[np.ndarray, bool]:
+        """Read back a dispatched track step and run all host bookkeeping
+        (retry ladder, relocalization, velocity, keyframe policy)."""
+        from sindslam_tpu.slam.tracking import full_track_step, unpack_track_out
+
+        (frame, timestamp, out, prev_frame, prev_Twc, Tcw_pred,
+         pos, desc, ok, ids) = pending
+        P = pos.shape[0]
+        is_kf = False
+        # ONE device->host transfer for the whole step result. If a deferred
+        # mapping stage (triangulation / BA result) is waiting, its packed
+        # array rides along in the SAME transfer — each tunnel round trip
+        # has a ~21 ms latency floor, so post-keyframe frames would
+        # otherwise pay two.
+        extra = self._peek_mapping_packed()
+        if extra is not None:
+            n_track = out.packed.shape[0]
+            host = np.asarray(jnp.concatenate(
+                [out.packed, extra.ravel().astype(jnp.float32)]))
+            self._store_mapping_prefetch(host[n_track:])
+            track_host = host[:n_track]
+        else:
+            track_host = np.asarray(out.packed)
+        poses, counts, out_idx, flags = unpack_track_out(track_host, P)
         n_inl = int(counts[0])
 
         if n_inl < self.tcfg.min_tracked_points:
-            # wide-window retry from the last pose
-            out = full_track_step(self.prev_frame, jnp.asarray(prev_Twc),
+            # wide-window retry from the last pose (prev_frame comes from
+            # the pending tuple: under deferred_track self.prev_frame has
+            # already advanced to the frame being integrated)
+            out = full_track_step(prev_frame, jnp.asarray(prev_Twc),
                                   frame, jnp.asarray(self.Tcw),
                                   pos, desc, ok, self.cam, self.tcfg,
                                   self.tcfg.search_radius_coarse)
@@ -155,7 +219,7 @@ class SlamSystem:
                 # (otherwise the next keyframe insertion associates map
                 # points from the failed wide-window dispatch).
                 out = full_track_step(
-                    self.prev_frame, jnp.asarray(prev_Twc), frame,
+                    prev_frame, jnp.asarray(prev_Twc), frame,
                     jnp.asarray(np.asarray(Tcw_r, np.float32)),
                     pos, desc, ok, self.cam, self.tcfg,
                     self.tcfg.search_radius_coarse)
@@ -315,6 +379,27 @@ class SlamSystem:
 
     # ----------------------------------------- deferred mapping pipeline
 
+    def _peek_mapping_packed(self):
+        """Device array of the next pending mapping stage's result, or None —
+        ridden along with the track readback (see _integrate_track)."""
+        if not self._pending:
+            return None
+        stage = self._pending[0]
+        if stage[0] == "tri":
+            if len(stage) > 4:       # host copy already attached
+                return None
+            tri = stage[3]
+            return None if tri is None else tri[0]
+        if len(stage) > 3:
+            return None
+        handle = stage[2]
+        return None if handle is None else handle[0].packed
+
+    def _store_mapping_prefetch(self, host_flat: np.ndarray) -> None:
+        """Attach the already-transferred host copy to the pending stage."""
+        self._pending[0] = self._pending[0][:4 if self._pending[0][0] == "tri"
+                                            else 3] + (host_flat,)
+
     def _service_mapping(self, budget: int = 1) -> None:
         """Integrate deferred keyframe work, one stage per call: the
         asynchronous LocalMapping re-design (VERDICT r2 missing #2). Device
@@ -323,13 +408,15 @@ class SlamSystem:
         while budget > 0 and self._pending:
             stage = self._pending.pop(0)
             if stage[0] == "tri":
-                _, kf, host, tri = stage
-                self._integrate_triangulation(kf, host, tri)
+                _, kf, host, tri = stage[:4]
+                pre = stage[4] if len(stage) > 4 else None
+                self._integrate_triangulation(kf, host, tri, pre=pre)
                 self._pending.insert(
                     0, ("ba", kf, self.map.dispatch_local_ba()))
             else:
-                _, kf, handle = stage
-                self.map.integrate_local_ba(handle)
+                _, kf, handle = stage[:3]
+                pre = stage[3] if len(stage) > 3 else None
+                self.map.integrate_local_ba(handle, pre=pre)
                 self._index_and_close_loops(kf)
             budget -= 1
 
@@ -375,12 +462,15 @@ class SlamSystem:
             self.cam, self.tcfg)
         return packed, free
 
-    def _integrate_triangulation(self, kf, host, tri) -> None:
+    def _integrate_triangulation(self, kf, host, tri, pre=None) -> None:
         """Read back dispatched triangulation, allocate the new points, and
-        run the host-side map maintenance (fuse / cull) for this keyframe."""
+        run the host-side map maintenance (fuse / cull) for this keyframe.
+        ``pre`` is the flat host copy when the transfer already rode along
+        with a track readback."""
         if tri is not None:
             packed_dev, free = tri
-            packed = np.asarray(packed_dev)           # one readback
+            packed = (pre.reshape(packed_dev.shape) if pre is not None
+                      else np.asarray(packed_dev))    # one readback
             ok = (packed[:, 3] > 0.5) & free
             idx = np.where(ok)[0]
             if len(idx):
@@ -403,6 +493,7 @@ class SlamSystem:
 
     def trajectory(self) -> Tuple[np.ndarray, np.ndarray]:
         """(timestamps (F,), Twc (F, 4, 4)) with keyframe-relative replay."""
+        self.flush_tracking()
         ts, poses = [], []
         for rec in self.records:
             ref = self.map.keyframes[rec.ref_kf_id]
@@ -433,6 +524,7 @@ class SlamSystem:
         """Final global bundle adjustment over the whole keyframe set
         (role of the reference's RunGlobalBundleAdjustment,
         LoopClosing.cc:645 / Optimizer.cc:41)."""
+        self.flush_tracking()
         self.flush_mapping()
         self.map.run_global_ba()
 
@@ -445,6 +537,7 @@ class SlamSystem:
         117-119``); here checkpoint/resume is a real feature: a saved map can
         be reloaded for localization-only runs or continued mapping.
         """
+        self.flush_tracking()
         self.flush_mapping()
         m = self.map
         kf_blobs = {}
@@ -485,6 +578,7 @@ class SlamSystem:
         """Restore a map saved by :meth:`save_map` (resume / localization)."""
         import jax.numpy as jnp
 
+        self._track_pending = None   # in-flight step targets the old map
         data = np.load(path)
         m = self.map
         # restore the vocabulary FIRST so re-indexing the keyframes below

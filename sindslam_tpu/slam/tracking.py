@@ -79,17 +79,26 @@ class FullTrackOut(NamedTuple):
     counts: jnp.ndarray   # (2,) int32: [frame inliers, map inliers]
     map_match_idx: jnp.ndarray   # (P,) int32 target keypoint per map point
     flags: jnp.ndarray    # (3, P) bool: [match valid, obs inlier, in frustum]
-    packed: jnp.ndarray   # (34 + 4P,) float32: everything above in ONE
+    packed: jnp.ndarray   # (34 + P/2,) float32: everything above in ONE
     #                       transfer (reading the four fields separately
-    #                       costs four ~21 ms tunnel round trips)
+    #                       costs four ~21 ms tunnel round trips). The four
+    #                       per-point fields are bit-packed two-points-per-
+    #                       word: idx+1 in bits 0-12 (N <= 8190), valid/
+    #                       inlier/in-frustum in bits 13-15 — the payload is
+    #                       ~8 KB instead of ~64 KB (the tunnel moves ~1 KB/ms
+    #                       on top of its ~21 ms round-trip floor).
 
 
 def unpack_track_out(packed: np.ndarray, P: int):
     """Host-side decode of FullTrackOut.packed -> (poses, counts, idx, flags)."""
     poses = packed[:32].reshape(2, 4, 4).copy()
     counts = packed[32:34].astype(np.int32)
-    idx = packed[34:34 + P].astype(np.int32)
-    flags = packed[34 + P:].reshape(3, P) > 0.5
+    words = np.ascontiguousarray(packed[34:34 + P // 2]).view(np.uint32)
+    code = np.empty(P, np.uint32)
+    code[0::2] = words & 0xFFFF
+    code[1::2] = words >> 16
+    idx = (code & 0x1FFF).astype(np.int32) - 1
+    flags = np.stack([(code >> b) & 1 for b in (13, 14, 15)]).astype(bool)
     return poses, counts, idx, flags
 
 
@@ -124,9 +133,15 @@ def full_track_step(
     poses = jnp.stack([r1.Tcw, final])
     counts = jnp.stack([r1.n_inliers, opt.n_inliers]).astype(jnp.int32)
     flags = jnp.stack([m.valid, opt.inliers & m.valid, in_frustum & map_ok])
+    # bit-pack the per-point fields, two points per f32 word (see FullTrackOut)
+    code = ((m.idx + 1).astype(jnp.uint32)
+            | (m.valid.astype(jnp.uint32) << 13)
+            | ((opt.inliers & m.valid).astype(jnp.uint32) << 14)
+            | ((in_frustum & map_ok).astype(jnp.uint32) << 15))
+    words = jax.lax.bitcast_convert_type(
+        code[0::2] | (code[1::2] << 16), jnp.float32)
     packed = jnp.concatenate([
-        poses.reshape(-1), counts.astype(jnp.float32),
-        m.idx.astype(jnp.float32), flags.astype(jnp.float32).reshape(-1)])
+        poses.reshape(-1), counts.astype(jnp.float32), words])
     return FullTrackOut(packed=packed,
                         poses=poses, counts=counts, map_match_idx=m.idx,
                         flags=flags)

@@ -177,3 +177,35 @@ def test_odometry_on_synthetic_static_scene():
         assert not tracker.lost, f"tracker lost at t={t}: {info}"
     res = evaluate_ate(np.array(ts), np.array(gt), np.array(ts), np.array(est))
     assert res.rmse < 0.02, str(res)
+
+
+def test_track_out_bitpack_roundtrip():
+    """The bit-packed FullTrackOut payload decodes exactly (idx + 3 flags)."""
+    from sindslam_tpu.slam.tracking import unpack_track_out
+
+    rng = np.random.default_rng(3)
+    P = 64
+    idx = rng.integers(-1, 1500, P).astype(np.int32)
+    valid = rng.uniform(size=P) < 0.5
+    inlier = valid & (rng.uniform(size=P) < 0.5)
+    vis = rng.uniform(size=P) < 0.7
+    poses = rng.normal(size=(2, 4, 4)).astype(np.float32)
+    counts = np.array([7, 42], np.int32)
+
+    code = ((jnp.asarray(idx) + 1).astype(jnp.uint32)
+            | (jnp.asarray(valid).astype(jnp.uint32) << 13)
+            | (jnp.asarray(inlier).astype(jnp.uint32) << 14)
+            | (jnp.asarray(vis).astype(jnp.uint32) << 15))
+    words = jax.lax.bitcast_convert_type(
+        code[0::2] | (code[1::2] << 16), jnp.float32)
+    packed = np.asarray(jnp.concatenate([
+        jnp.asarray(poses).reshape(-1),
+        jnp.asarray(counts).astype(jnp.float32), words]))
+
+    poses2, counts2, idx2, flags2 = unpack_track_out(packed, P)
+    np.testing.assert_array_equal(idx2, idx)
+    np.testing.assert_array_equal(flags2[0], valid)
+    np.testing.assert_array_equal(flags2[1], inlier)
+    np.testing.assert_array_equal(flags2[2], vis)
+    np.testing.assert_allclose(poses2, poses, rtol=1e-6)
+    np.testing.assert_array_equal(counts2, counts)

@@ -107,3 +107,33 @@ def test_slam_system_trajectory_io(tmp_path):
     lines = p1.read_text().strip().splitlines()
     assert len(lines) == 6
     assert len(lines[0].split()) == 8
+
+
+@pytest.mark.slow
+def test_deferred_track_matches_sync():
+    """The one-frame-deferred track readback (SlamSystem.deferred_track)
+    must produce the SAME trajectory as the synchronous path: the dispatch
+    sequence is identical, only the readback/bookkeeping is delayed one
+    frame, and flush_tracking drains the tail."""
+    frames = list(generate_sequence(n_frames=10, seed=3, with_dynamic=False,
+                                    amplitude=0.06))
+
+    def run(deferred):
+        cfg = SystemConfig(
+            camera=CAM,
+            orb=ORBConfig(n_features=800, n_levels=4),
+            tracking=TrackingConfig(ba_max_keyframes=8, ba_max_points=2048,
+                                    max_frames_between_kf=4),
+        )
+        sys = SlamSystem(cfg)
+        sys.deferred_track = deferred
+        for rgb, depth, dyn, pose_wc, t in frames:
+            sys.track_rgbd(jnp.asarray(rgb), jnp.asarray(depth), timestamp=t)
+        ts, poses = sys.trajectory()        # flushes the pending step
+        assert sys._track_pending is None
+        return ts, poses
+
+    ts_d, poses_d = run(True)
+    ts_s, poses_s = run(False)
+    assert len(ts_d) == len(frames) == len(ts_s)
+    np.testing.assert_allclose(poses_d, poses_s, atol=1e-5)

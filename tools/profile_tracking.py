@@ -61,8 +61,10 @@ def run(label):
 
 def run_pipelined(label):
     """Driver-style loop: next frontend dispatched between the tracking
-    dispatch and its readback (prefetch overlap)."""
+    dispatch and its readback (prefetch overlap), and the track readback
+    deferred one frame (as the --fused driver runs)."""
     slam = SlamSystem(cfg)
+    slam.deferred_track = True
     state = init_state(cfg, im.rgb_to_gray(jnp.asarray(frames[0][0])))
     outs = []
     t0 = time.perf_counter()
