@@ -186,7 +186,11 @@ class DynaConfig:
     # fallback; see frontend/flow_mask.py::_parallax_consistency)
     parallax_filter: bool = True
     parallax_max_px: float = 8.0     # only residuals below this can be parallax
-    parallax_tol_px: float = 0.8     # absolute consistency tolerance
+    # absolute consistency tolerance: set AT the flow solver's own EPE
+    # (~1.2 px) — below it, far-background flow noise reads as "inconsistent
+    # with parallax" and floods the mask (r3 dyn_walk frames 6-9); movers sit
+    # several px off the depth-coupled prediction either way
+    parallax_tol_px: float = 1.3
     parallax_tol_rel: float = 0.35   # relative tolerance vs predicted parallax
     parallax_fit_med_px: float = 1.5  # median fit error above this -> model off
     w_invalid: float = 1.0

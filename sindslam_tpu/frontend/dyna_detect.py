@@ -66,9 +66,11 @@ def _geometry_fn(depth, prev_labels, cam: CameraConfig, cfg: DynaConfig):
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _mask_fn(flow_u, flow_v, weight_map, valid, prev_high, label_img,
              cfg: DynaConfig, key, depth_m=None, prev_ratio_img=None,
-             prev_dyn_score=None, unreliable=None, prev_dyn_depth=None):
+             prev_dyn_score=None, unreliable=None, prev_dyn_depth=None,
+             prev_dyn=None):
     fm = flow_residual_mask(flow_u, flow_v, weight_map, valid, cfg, key,
-                            depth_m=depth_m, unreliable=unreliable)
+                            depth_m=depth_m, unreliable=unreliable,
+                            prev_dyn=prev_dyn)
     fu = fuse_masks(fm.low_mask, fm.high_mask, prev_high, label_img, valid,
                     cfg, prev_ratio_img=prev_ratio_img,
                     prev_dyn_score=prev_dyn_score,
@@ -145,7 +147,8 @@ class DynaDetector:
                           prev_ratio_img=self._prev_ratio_img,
                           prev_dyn_score=self._dyn_score,
                           unreliable=unreliable,
-                          prev_dyn_depth=self._dyn_depth)
+                          prev_dyn_depth=self._dyn_depth,
+                          prev_dyn=self._prev_mask == cfg.dyna.mask_dynamic)
 
         mask = fu.dyna_mask
 

@@ -105,7 +105,8 @@ def _threshold_ladder(mag: jnp.ndarray, valid: jnp.ndarray, cfg: DynaConfig
 
 def _parallax_consistency(ru: jnp.ndarray, rv: jnp.ndarray,
                           depth_m: jnp.ndarray, valid: jnp.ndarray,
-                          mag: jnp.ndarray, cfg: DynaConfig
+                          mag: jnp.ndarray, cfg: DynaConfig,
+                          prev_dyn: jnp.ndarray | None = None
                           ) -> jnp.ndarray:
     """Pixels whose homography residual is explained by STATIC parallax.
 
@@ -153,31 +154,46 @@ def _parallax_consistency(ru: jnp.ndarray, rv: jnp.ndarray,
     rv_s = rv[yy, xx]
     ok_s = valid[yy, xx] & (jnp.sqrt(ru_s ** 2 + rv_s ** 2)
                             < cfg.parallax_max_px)
+    if prev_dyn is not None:
+        # known movers must not seed the camera-parallax fit: a walking
+        # person's ~6 px coherent residual drags the least squares enough
+        # that true background parallax lands outside tolerance (r3
+        # dyn_walk frame-6 probe: oracle static-only fit p90 0.73 px vs
+        # the corrupted fit missing ~13k background px)
+        ok_s = ok_s & ~prev_dyn[yy, xx]
     Au, Av = design(yy, xx, iz_s)
     A = jnp.concatenate([Au, Av], 0)                  # (2N, 6)
     b = jnp.concatenate([ru_s, rv_s], 0)
     w0 = jnp.concatenate([ok_s, ok_s], 0).astype(jnp.float32)
 
+    _HI = jax.lax.Precision.HIGHEST
+
     def solve(wts):
+        # HIGHEST: the 6x6 normal equations mix O(1) inverse-depth terms
+        # with O(1) normalized coords, but the accumulation over 6k rows in
+        # bf16 shifts theta enough to flip the per-pixel miss<tol test at
+        # the sub-pixel tolerances used below (r3 TPU-vs-CPU mask drift)
         Aw = A * wts[:, None]
-        M = A.T @ Aw + 1e-4 * jnp.eye(6)
-        rhs = Aw.T @ b
+        M = jnp.matmul(A.T, Aw, precision=_HI) + 1e-4 * jnp.eye(6)
+        rhs = jnp.matmul(Aw.T, b, precision=_HI)
         return jnp.linalg.solve(M, rhs)
 
     theta = solve(w0)
-    # robust re-weights: Huber-style down-weight of misfits (movers);
-    # three rounds tighten the camera-parallax model against the strongest
-    # static structure (one round left ~15k px of explainable background
-    # parallax outside tolerance on the dyn_walk bench)
+    # robust re-fit by HARD rejection at a shrinking radius (3 -> 1.5 ->
+    # 1 px): soft 1/err weights let a coherent mover keep pulling the fit
+    # (its residual is bounded, so its weight never vanishes), which pushed
+    # true background parallax outside tolerance on dyn_walk frames 6-9;
+    # a shrinking trust region cuts the mover out entirely after round one
+    # while keeping thousands of static rows
     w1 = w0
-    for _ in range(3):
-        err = jnp.abs(A @ theta - b)
-        w1 = w0 * jnp.minimum(1.0, 1.0 / jnp.maximum(err, 0.5))
+    for cut in (3.0, 1.5, 1.0):
+        err = jnp.abs(jnp.matmul(A, theta, precision=_HI) - b)
+        w1 = w0 * (err < cut).astype(jnp.float32)
         theta = solve(w1)
 
     # model validity: if the (robust) fit does not explain the candidate
     # residuals, disable the exclusion entirely (never weaken real movers)
-    err2 = jnp.abs(A @ theta - b)
+    err2 = jnp.abs(jnp.matmul(A, theta, precision=_HI) - b)
     med_err = jnp.nanmedian(jnp.where(w0 > 0, err2, jnp.nan))
     model_ok = jnp.nan_to_num(med_err, nan=1e9) < cfg.parallax_fit_med_px
 
@@ -204,6 +220,7 @@ def flow_residual_mask(
     key: jax.Array,
     depth_m: jnp.ndarray | None = None,
     unreliable: jnp.ndarray | None = None,
+    prev_dyn: jnp.ndarray | None = None,
 ) -> FlowMaskResult:
     """Compute the dynamic low/high masks from a dense flow field.
 
@@ -255,7 +272,8 @@ def flow_residual_mask(
     high_mask = (mag > high) & valid
 
     if depth_m is not None and cfg.parallax_filter:
-        parallax = _parallax_consistency(ru, rv, depth_m, valid, mag, cfg)
+        parallax = _parallax_consistency(ru, rv, depth_m, valid, mag, cfg,
+                                         prev_dyn=prev_dyn)
         low_mask = low_mask & ~parallax
         high_mask = high_mask & ~parallax
     if unreliable is not None and cfg.photo_filter:

@@ -113,7 +113,8 @@ def frontend_step(
     key, k1, k2 = jax.random.split(state.key, 3)
     wmap = sample_weights(state.prev_mask, state.ratio_img, cfg.dyna, k1)
     fm = flow_residual_mask(u, v, wmap, valid, cfg.dyna, k2, depth_m=depth_m,
-                            unreliable=unreliable)
+                            unreliable=unreliable,
+                            prev_dyn=state.prev_mask == cfg.dyna.mask_dynamic)
     fu = fuse_masks(fm.low_mask, fm.high_mask, state.prev_high, rr.label_img,
                     valid, cfg.dyna, prev_ratio_img=state.ratio_img,
                     prev_dyn_score=state.dyn_score,

@@ -56,7 +56,8 @@ def dlt_homography(src: jnp.ndarray, dst: jnp.ndarray, w: jnp.ndarray) -> jnp.nd
     _, eigvecs = jnp.linalg.eigh(AtA)
     h = eigvecs[:, 0]
     Hn = h.reshape(3, 3)
-    H = jnp.linalg.solve(T_d, Hn @ T_s)
+    H = jnp.linalg.solve(T_d, jnp.matmul(
+        Hn, T_s, precision=jax.lax.Precision.HIGHEST))
     return H / (H[2, 2] + 1e-12)
 
 
@@ -116,15 +117,23 @@ def dlt4_homography(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
     T_s = T_s.at[0, 0].set(ss).at[1, 1].set(ss).at[0, 2].set(-ss * ms[0]).at[1, 2].set(-ss * ms[1])
     T_d_inv = jnp.array([[1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0]])
     T_d_inv = T_d_inv.at[0, 0].set(1.0 / sd).at[1, 1].set(1.0 / sd).at[0, 2].set(md[0]).at[1, 2].set(md[1])
-    H = T_d_inv @ Hn @ T_s
+    H = jnp.matmul(T_d_inv, jnp.matmul(Hn, T_s,
+                                       precision=jax.lax.Precision.HIGHEST),
+                   precision=jax.lax.Precision.HIGHEST)
     return H / (H[2, 2] + 1e-12)
 
 
 def apply_homography(H: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
-    """(…, 3, 3) x (N, 2) -> (…, N, 2)."""
+    """(…, 3, 3) x (N, 2) -> (…, N, 2).
+
+    precision=HIGHEST: pixel coordinates reach 640, where a bf16 MXU pass
+    quantizes to ~2 px — the same order as the RANSAC inlier threshold
+    (r3: this skewed hypothesis scoring on TPU vs CPU).
+    """
     ones = jnp.ones(pts.shape[:-1] + (1,), pts.dtype)
     ph = jnp.concatenate([pts, ones], axis=-1)
-    out = ph @ jnp.swapaxes(H, -1, -2)
+    out = jnp.matmul(ph, jnp.swapaxes(H, -1, -2),
+                     precision=jax.lax.Precision.HIGHEST)
     return out[..., :2] / (out[..., 2:3] + 1e-12)
 
 
@@ -186,9 +195,12 @@ def homography_flow(H: jnp.ndarray, height: int, width: int) -> Tuple[jnp.ndarra
     ys = jnp.arange(height, dtype=jnp.float32)
     xs = jnp.arange(width, dtype=jnp.float32)
     gx, gy = jnp.meshgrid(xs, ys)
-    ones = jnp.ones_like(gx)
-    p = jnp.stack([gx, gy, ones], axis=-1)             # (H, W, 3)
-    q = p @ H.T
-    qx = q[..., 0] / (q[..., 2] + 1e-12)
-    qy = q[..., 1] / (q[..., 2] + 1e-12)
-    return qx - gx, qy - gy
+    # elementwise multiply-adds (VPU, exact f32), NOT a (H*W, 3) @ (3, 3)
+    # matmul: the bf16 MXU pass puts ~1-2.5 px of quantization on the
+    # compensation field at image-scale coordinates — the residual `mag`
+    # then drowns the 1.7 px low threshold in numeric noise (r3 TPU-vs-CPU
+    # mask drift, tools/profile_tpu_mask_drift.py)
+    qx = H[0, 0] * gx + H[0, 1] * gy + H[0, 2]
+    qy = H[1, 0] * gx + H[1, 1] * gy + H[1, 2]
+    qz = H[2, 0] * gx + H[2, 1] * gy + H[2, 2]
+    return qx / (qz + 1e-12) - gx, qy / (qz + 1e-12) - gy
