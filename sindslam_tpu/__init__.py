@@ -27,6 +27,21 @@ Layer map mirrors SURVEY.md:
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS") == "cpu" or \
+        _os.environ.get("JAX_PLATFORM_NAME") == "cpu":
+    # The axon TPU plugin (sitecustomize) forces jax_platforms="axon,cpu"
+    # via jax.config, which OVERRIDES these env vars; when the TPU tunnel
+    # is down, initializing the axon backend then blocks forever inside
+    # make_c_api_client, hanging every jax.devices() call — including in
+    # CPU-only subprocesses (CLI tools, the multichip dryrun child, tests).
+    # Honor an explicit env request for CPU at the config layer so those
+    # never touch the tunnel.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+
 from sindslam_tpu.config import (  # noqa: F401
     CameraConfig,
     DynaConfig,

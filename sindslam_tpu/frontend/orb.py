@@ -303,12 +303,42 @@ def _binned_offset_table() -> np.ndarray:
     return out
 
 
+def _extract_patches(img_blur: jnp.ndarray, y0: jnp.ndarray, x0: jnp.ndarray
+                     ) -> jnp.ndarray:
+    """(N, P, P) f32 patches at per-keypoint top-left corners.
+
+    TPU: a Pallas kernel — the atlas stays VMEM-resident and each window is
+    one dynamic slice (exact f32; the one-hot-matmul route it replaces
+    materialized ~100 MB of bf16 one-hot operands, ~1.9 ms at N=1500).
+    Elsewhere: the one-hot contraction pair (f32 — same values as the
+    kernel, used by the CPU parity tests).
+    """
+    P = _PATCH
+    if jax.default_backend() == "tpu":
+        from sindslam_tpu.ops.pallas_kernels import extract_patches_pallas
+
+        n = y0.shape[0]
+        group = 125 if n % 125 == 0 else 1
+        return extract_patches_pallas(img_blur, y0, x0, patch=P, group=group)
+    h, w = img_blur.shape
+    ks = jnp.arange(h, dtype=jnp.int32)
+    wy = (ks[None, None, :] == (y0[:, None, None] + jnp.arange(P)[None, :, None])
+          ).astype(jnp.float32)                              # (N, P, H)
+    tmp = jnp.einsum("nph,hw->npw", wy, img_blur,
+                     precision=lax.Precision.HIGHEST)        # (N, P, W)
+    ms = jnp.arange(w, dtype=jnp.int32)
+    wx = (ms[None, None, :] == (x0[:, None, None] + jnp.arange(P)[None, :, None])
+          ).astype(jnp.float32)                              # (N, P, W)
+    return jnp.einsum("npw,nqw->npq", tmp, wx,
+                      precision=lax.Precision.HIGHEST)       # (N, P, P)
+
+
 def _brief_descriptors_mm(img_blur: jnp.ndarray, yx: jnp.ndarray,
                           angle: jnp.ndarray) -> jnp.ndarray:
-    """Gather-free BRIEF: one-hot-matmul patch extraction + angle-binned
-    static sample tables.
+    """Gather-free BRIEF: VMEM patch extraction + angle-binned static
+    sample tables.
 
-      patches[n] = Wy[n] @ img @ Wx[n]^T      (two one-hot contractions)
+      patches[n] = img[y0:y0+P, x0:x0+P]       (Pallas dynamic slices)
       S[b, n, s] = M[b] @ patches_flat[n]     (static per-bin sample matrix)
       samples[n, s] = S[bin(angle_n), n, s]   (one-hot bin select)
 
@@ -321,18 +351,7 @@ def _brief_descriptors_mm(img_blur: jnp.ndarray, yx: jnp.ndarray,
     c0 = P // 2
     y0 = jnp.clip(yx[:, 0] - c0, 0, h - P)
     x0 = jnp.clip(yx[:, 1] - c0, 0, w - P)
-
-    ks = jnp.arange(h, dtype=jnp.int32)
-    wy = (ks[None, None, :] == (y0[:, None, None] + jnp.arange(P)[None, :, None])
-          ).astype(jnp.bfloat16)                             # (N, P, H)
-    tmp = jnp.einsum("nph,hw->npw", wy, img_blur.astype(jnp.bfloat16),
-                     precision=lax.Precision.DEFAULT)        # (N, P, W)
-    ms = jnp.arange(w, dtype=jnp.int32)
-    wx = (ms[None, None, :] == (x0[:, None, None] + jnp.arange(P)[None, :, None])
-          ).astype(jnp.bfloat16)                             # (N, P, W)
-    patches = jnp.einsum("npw,nqw->npq", tmp, wx,
-                         precision=lax.Precision.DEFAULT)    # (N, P, P)
-    pf = patches.reshape(n, P * P).astype(jnp.float32)
+    pf = _extract_patches(img_blur, y0, x0).reshape(n, P * P)
 
     table = jnp.asarray(_binned_offset_table())              # (B, 512)
     M = (table[:, :, None] == jnp.arange(P * P)[None, None, :]

@@ -263,7 +263,87 @@ def median_filter(img: jnp.ndarray, ksize: int = 5) -> jnp.ndarray:
         ex(4, 7); ex(4, 2); ex(6, 4)
         ex(4, 2)
         return v[4]
-    return jnp.median(jnp.stack(vals, axis=-1), axis=-1)
+    return _median_network(vals)
+
+
+def _oddeven_pairs(n: int):
+    """Batcher odd-even mergesort comparator list for n a power of two."""
+    pairs = []
+
+    def merge(lo, m, r):
+        step = r * 2
+        if step < m:
+            merge(lo, m, step)
+            merge(lo + r, m, step)
+            pairs.extend((i, i + r) for i in range(lo + r, lo + m - r, step))
+        else:
+            pairs.append((lo, lo + r))
+
+    def sort(lo, m):
+        if m > 1:
+            half = m // 2
+            sort(lo, half)
+            sort(lo + half, half)
+            merge(lo, m, 1)
+
+    sort(0, n)
+    return pairs
+
+
+def _median_network(vals):
+    """Exact median of an odd-length list of same-shape arrays as a pruned
+    min/max selection network (bit-identical to sorting and indexing the
+    middle element).
+
+    ``jnp.median`` lowers to a full 25-way per-pixel SORT on TPU (1.2 ms at
+    640x480 for the 5x5 depth median, r3 trace); the pruned network is ~100
+    element-wise min/max ops that XLA fuses into a couple of VPU kernels.
+    Construction: Batcher's odd-even mergesort on the next power of two,
+    +inf padding wires folded symbolically (min(x, inf) = x), then a
+    backward sweep keeps only comparators the median output depends on.
+    """
+    k = len(vals)
+    assert k % 2 == 1
+    n = 1
+    while n < k:
+        n *= 2
+    INF = -1  # symbolic +infinity wire value
+    wires = list(range(k)) + [INF] * (n - k)
+    nodes = []  # (op, a, b) with op in {"min", "max"}; ids offset by k
+    for i, j in _oddeven_pairs(n):
+        a, b = wires[i], wires[j]
+        if b == INF:
+            continue                       # min->a, max->inf: no-op
+        if a == INF:
+            wires[i], wires[j] = b, INF    # swap; j holds +inf again
+            continue
+        nodes.append(("min", a, b))
+        wires[i] = k + len(nodes) - 1
+        nodes.append(("max", a, b))
+        wires[j] = k + len(nodes) - 1
+    target = wires[k // 2]                 # median of the k real inputs
+    # backward reachability: emit only nodes the median depends on
+    needed = set()
+    stack = [target]
+    while stack:
+        v = stack.pop()
+        if v < k or v in needed:
+            continue
+        needed.add(v)
+        _op, a, b = nodes[v - k]
+        stack.extend((a, b))
+    memo = {}
+
+    def emit(v):
+        if v < k:
+            return vals[v]
+        if v not in memo:
+            op, a, b = nodes[v - k]
+            f = jnp.minimum if op == "min" else jnp.maximum
+            memo[v] = f(emit(a), emit(b))
+        return memo[v]
+
+    return emit(target)
 
 
 def _window_extreme_1d(x: jnp.ndarray, k: int, axis: int, op, fill

@@ -382,3 +382,59 @@ def fast_nms_pallas(img: jnp.ndarray, min_th: float, ini_th: float,
         interpret=interpret,
     )(imgp)
     return out[:h, :w]
+
+
+def _make_patch_kernel(group: int, patch: int):
+    def kernel(yx_ref, img_ref, out_ref):
+        i = pl.program_id(0)
+
+        def body(k, carry):
+            y0 = yx_ref[i * group + k, 0]
+            x0 = yx_ref[i * group + k, 1]
+            out_ref[k] = img_ref[pl.ds(y0, patch), pl.ds(x0, patch)]
+            return carry
+
+        lax.fori_loop(0, group, body, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("patch", "group", "interpret"))
+def extract_patches_pallas(img: jnp.ndarray, y0: jnp.ndarray,
+                           x0: jnp.ndarray, patch: int = 28,
+                           group: int = 125,
+                           interpret: bool = False) -> jnp.ndarray:
+    """(N, patch, patch) windows of ``img`` at per-point top-left corners.
+
+    The BRIEF patch gather. The one-hot-matmul formulation this replaces
+    materializes two (N, patch, atlas-dim) bf16 one-hot operands (~100 MB of
+    comparisons + HBM traffic, ~1.9 ms at N=1500 on the 2434x640 ORB atlas,
+    r3 trace fusion.1118) and rounds the image through bf16; here the atlas
+    stays VMEM-resident across the whole grid and each window is one
+    unaligned-but-VMEM dynamic slice — exact f32, no HBM in the loop.
+
+    Callers must pre-clip y0/x0 to [0, dim - patch]; N must be a multiple
+    of ``group`` (the wrapper in frontend/orb.py pads).
+    """
+    n = y0.shape[0]
+    assert n % group == 0, (n, group)
+    h, w = img.shape
+    hp, wp = _round_up(h, 8), _round_up(w, 128)
+    imgp = jnp.pad(img, ((0, hp - h), (0, wp - w)))
+    yx = jnp.stack([y0, x0], axis=-1).astype(jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n // group,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((group, patch, patch),
+                               lambda i, s_ref: (i, 0, 0)),
+    )
+    out = pl.pallas_call(
+        _make_patch_kernel(group, patch),
+        out_shape=jax.ShapeDtypeStruct((n, patch, patch), img.dtype),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(yx, imgp)
+    return out

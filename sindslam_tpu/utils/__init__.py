@@ -1,12 +1,38 @@
 
 
+def cpu_cache_dirname() -> str:
+    """``.jax_cache_cpu_<fingerprint>`` — a CPU-cache directory name keyed
+    by this machine's CPU feature set.
+
+    CPU AOT executables are machine-specific: entries written by a
+    different host type load with SIGILL-risk warnings and have segfaulted
+    mid-suite (jax compilation_cache.get_executable_and_time). The rounds
+    of this build run on heterogeneous VMs, so a bare ``.jax_cache_cpu``
+    eventually mixes hosts; fingerprinting the dir name gives each CPU
+    type its own cache and makes a machine switch a cold cache instead of
+    a crash.
+    """
+    import hashlib
+    import platform
+
+    key = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    key += " " + " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    return ".jax_cache_cpu_" + hashlib.sha1(key.encode()).hexdigest()[:10]
+
+
 def setup_compilation_cache(repo_root: str | None = None) -> None:
     """Wire the persistent XLA compilation cache, split by backend.
 
     TPU artifacts go to ``.jax_cache`` (device-targeted, safe to share);
-    CPU AOT executables go to ``.jax_cache_cpu`` (machine-specific —
-    entries written by a different host type load with SIGILL-risk
-    warnings and have segfaulted mid-run; see tests/conftest.py).
+    CPU AOT executables go to a per-machine ``.jax_cache_cpu_<hash>``
+    (see :func:`cpu_cache_dirname`).
     Call AFTER jax is importable; reads the default backend lazily.
     """
     import os
@@ -16,7 +42,7 @@ def setup_compilation_cache(repo_root: str | None = None) -> None:
     if repo_root is None:
         repo_root = os.path.dirname(os.path.dirname(
             os.path.dirname(os.path.abspath(__file__))))
-    sub = ".jax_cache" if jax.default_backend() == "tpu" else ".jax_cache_cpu"
+    sub = ".jax_cache" if jax.default_backend() == "tpu" else cpu_cache_dirname()
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(repo_root, sub))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

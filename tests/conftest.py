@@ -20,6 +20,12 @@ import jax  # noqa: E402
 # case the env vars above came too late; the config update still works as
 # long as no backend has been initialized yet.
 jax.config.update("jax_platform_name", "cpu")
+# The axon plugin's register() (sitecustomize) sets jax_platforms="axon,cpu"
+# via jax.config, which OVERRIDES the env vars above — and when the TPU
+# tunnel is down, initializing the axon backend blocks forever inside
+# make_c_api_client, hanging every jax.devices() call. Force the config
+# itself back to cpu so CPU test runs never touch the tunnel.
+jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the heavy fused front-end graphs take minutes
 # to compile even on CPU; cache them across test runs. The CPU cache is a
@@ -30,9 +36,15 @@ jax.config.update("jax_platform_name", "cpu")
 # jax compilation_cache.get_executable_and_time. A per-machine CPU cache
 # avoids loading foreign executables; TPU artifacts are device-targeted and
 # unaffected.
+from sindslam_tpu.utils import cpu_cache_dirname  # noqa: E402
+
+# SINDSLAM_TEST_CACHE_DIR overrides the cache location (used by cache-state
+# experiments; jax's own JAX_COMPILATION_CACHE_DIR env var would lose to
+# these config updates).
 jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("SINDSLAM_TEST_CACHE_DIR") or
                   os.path.join(os.path.dirname(os.path.dirname(
-                      os.path.abspath(__file__))), ".jax_cache_cpu"))
+                      os.path.abspath(__file__))), cpu_cache_dirname()))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import numpy as np  # noqa: E402

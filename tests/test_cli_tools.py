@@ -106,7 +106,9 @@ def test_stage_timer():
             _time.sleep(0.01)
     with t.stage("b"):
         pass
-    assert 8 < t.mean_ms("a") < 100
+    # Upper bound is loose: sleep(0.01) has been observed to take >100 ms
+    # under VM scheduler contention on the 1-core CI host.
+    assert 8 < t.mean_ms("a") < 2000
     rep = t.report()
     assert "a" in rep and "b" in rep and "ms/frame" in rep
 

@@ -1,0 +1,174 @@
+"""Long-loop global-BA seam regression (VERDICT r2 weak #7).
+
+``LocalMap.run_global_ba`` is overlapping anchored windowed sweeps, not the
+reference's joint solve (``Optimizer.cc:41`` GlobalBundleAdjustemnt). The
+open question was whether window seams leave residual bending on loops much
+longer than one window. This test builds a 120-keyframe closed loop — 6x the
+20-keyframe BA window — with odometry drift and loop-closure co-observations
+between the loop ends, and asserts the sweeps actually propagate the
+correction end-to-end: camera-center RMSE vs ground truth must drop by a
+large factor and land near zero, not just improve locally.
+
+Observations are exact projections of the true structure under the true
+poses, so ground truth is the global optimum (zero residual); initial poses
+carry accumulated random-walk drift and initial points are back-projected
+from the drifted poses (structure consistent with the drift, as after real
+tracking).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from sindslam_tpu.config import CameraConfig, TrackingConfig
+from sindslam_tpu.slam.frame import FrameData, HostFrame
+from sindslam_tpu.slam.local_map import LocalMap
+
+CAM = CameraConfig()
+CFG = TrackingConfig()
+
+N_KF = 120
+RADIUS = 3.0
+N_NEW = 150          # new points allocated per keyframe
+N_REUSE = 150        # observations re-using the previous keyframe's points
+N_LOOP = 100         # loop-closure co-observations of the first KFs' points
+
+
+def _true_pose(k: int) -> np.ndarray:
+    """World->camera for keyframe k on a closed circle, looking tangentially."""
+    th = 2.0 * np.pi * k / N_KF
+    p = np.array([RADIUS * np.cos(th), RADIUS * np.sin(th), 0.0])
+    z = np.array([-np.sin(th), np.cos(th), 0.0])      # forward = tangent
+    y = np.array([0.0, 0.0, 1.0])
+    x = np.cross(y, z)
+    Rwc = np.stack([x, y, z], axis=1)
+    Tcw = np.eye(4, dtype=np.float64)
+    Tcw[:3, :3] = Rwc.T
+    Tcw[:3, 3] = -Rwc.T @ p
+    return Tcw
+
+
+def _rot(axis_angle: np.ndarray) -> np.ndarray:
+    th = float(np.linalg.norm(axis_angle))
+    if th < 1e-12:
+        return np.eye(3)
+    a = axis_angle / th
+    K = np.array([[0, -a[2], a[1]], [a[2], 0, -a[0]], [-a[1], a[0], 0]])
+    return np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * (K @ K)
+
+
+def _project(Tcw: np.ndarray, pw: np.ndarray):
+    pc = pw @ Tcw[:3, :3].T + Tcw[:3, 3]
+    z = pc[:, 2]
+    u = CAM.fx * pc[:, 0] / z + CAM.cx
+    v = CAM.fy * pc[:, 1] / z + CAM.cy
+    return u, v, z
+
+
+def _backproject(Tcw: np.ndarray, u, v, z):
+    pc = np.stack([(u - CAM.cx) / CAM.fx * z, (v - CAM.cy) / CAM.fy * z, z], -1)
+    Rcw, t = Tcw[:3, :3], Tcw[:3, 3]
+    return (pc - t) @ Rcw
+
+
+def _centers(Tcws) -> np.ndarray:
+    return np.stack([-T[:3, :3].T @ T[:3, 3] for T in Tcws])
+
+
+@pytest.mark.slow
+def test_windowed_global_ba_closes_a_120_keyframe_loop():
+    rng = np.random.default_rng(3)
+    m = LocalMap(CAM, CFG)
+
+    true_poses = [_true_pose(k) for k in range(N_KF)]
+    # odometry drift: estimated chain composes true relative motion plus a
+    # small random-walk twist each step
+    est_poses = [true_poses[0].copy()]
+    for k in range(1, N_KF):
+        rel = true_poses[k] @ np.linalg.inv(true_poses[k - 1])
+        noise = np.eye(4)
+        noise[:3, :3] = _rot(rng.normal(0, 1.2e-3, 3))
+        noise[:3, 3] = rng.normal(0, 2.0e-3, 3)
+        est_poses.append(noise @ rel @ est_poses[k - 1])
+
+    drift0 = float(np.sqrt(np.mean(np.sum(
+        (_centers(est_poses) - _centers(true_poses)) ** 2, axis=1))))
+    assert drift0 > 0.015, f"synthetic drift too small to test: {drift0}"
+
+    # world points per keyframe (generated from the TRUE poses)
+    pts_of_kf = []
+    ids_of_kf = []
+    kfs = []
+    for k in range(N_KF):
+        u = rng.uniform(60, 580, N_NEW)
+        v = rng.uniform(60, 420, N_NEW)
+        z = rng.uniform(1.5, 4.0, N_NEW)
+        pw_new = _backproject(true_poses[k], u, v, z)
+
+        obs_pw = [pw_new]
+        obs_gid = [None]                       # None = allocate fresh
+        if k > 0:
+            sel = rng.permutation(N_NEW)[:N_REUSE]
+            obs_pw.append(pts_of_kf[k - 1][sel])
+            obs_gid.append(ids_of_kf[k - 1][sel])
+        if k >= N_KF - 2:                      # the revisit: see KF0/KF1 points
+            src = k - (N_KF - 2)
+            sel = rng.permutation(N_NEW)[:N_LOOP]
+            obs_pw.append(pts_of_kf[src][sel])
+            obs_gid.append(ids_of_kf[src][sel])
+
+        pw = np.concatenate(obs_pw)
+        uu, vv, zz = _project(true_poses[k], pw)   # exact observations
+        ok = (zz > 0.3) & (uu > 2) & (uu < 637) & (vv > 2) & (vv < 477)
+
+        n = len(pw)
+        desc = rng.integers(0, 2 ** 32, (n, 8), dtype=np.uint32)
+        xy = np.stack([uu, vv], -1).astype(np.float32)
+        host = HostFrame(xy=xy, level=np.zeros(n, np.int32),
+                         angle=np.zeros(n, np.float32), desc=desc,
+                         valid=ok.copy(), depth=zz.astype(np.float32),
+                         ur=(uu - CAM.bf / zz).astype(np.float32))
+        frame = FrameData(xy=jnp.asarray(xy),
+                          level=jnp.zeros(n, jnp.int32),
+                          angle=jnp.zeros(n, jnp.float32),
+                          desc=jnp.asarray(desc),
+                          valid=jnp.asarray(ok),
+                          depth=jnp.asarray(host.depth),
+                          ur=jnp.asarray(host.ur), timestamp=float(k))
+
+        point_ids = np.full(n, -1, np.int64)
+        off = 0
+        for pw_g, gid in zip(obs_pw, obs_gid):
+            nn = len(pw_g)
+            if gid is None:
+                # fresh points enter the map back-projected from the DRIFTED
+                # pose at the observed pixel/depth (structure matches drift)
+                init = _backproject(est_poses[k], uu[off:off + nn],
+                                    vv[off:off + nn], zz[off:off + nn])
+                point_ids[off:off + nn] = m.allocate_points(
+                    init.astype(np.float32), desc[off:off + nn], k)
+            else:
+                point_ids[off:off + nn] = gid
+            off += nn
+        point_ids[~ok] = -1
+
+        kf = m.insert_keyframe(frame, est_poses[k].astype(np.float32),
+                               point_ids, float(k), host=host)
+        kfs.append(kf)
+        pts_of_kf.append(pw[:N_NEW])           # world truth of the new points
+        ids_of_kf.append(point_ids[:N_NEW])
+
+    m.run_global_ba(passes=3)
+
+    est_after = [kf.Tcw.astype(np.float64) for kf in kfs]
+    err = np.sqrt(np.sum((_centers(est_after) - _centers(true_poses)) ** 2,
+                         axis=1))
+    rmse = float(np.sqrt(np.mean(err ** 2)))
+    # end-to-end propagation: big factor off the initial drift and small in
+    # absolute terms (obs are exact, so the optimum is the truth)
+    assert rmse < 0.25 * drift0, \
+        f"windowed GBA left seams: rmse {rmse:.4f} vs drift {drift0:.4f}"
+    assert rmse < 0.02, f"absolute rmse after GBA too high: {rmse:.4f}"
+    # no single seam: worst keyframe error bounded too
+    assert float(err.max()) < 0.06, f"max keyframe error {err.max():.4f}"

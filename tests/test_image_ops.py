@@ -235,3 +235,15 @@ def test_block_or2_mm_matches_phases():
         p[:h, :w] = x
         ref = p[::2, ::2] | p[1::2, ::2] | p[::2, 1::2] | p[1::2, 1::2]
         np.testing.assert_array_equal(got, ref)
+
+
+def test_median_network_matches_sort():
+    """The pruned Batcher min/max network is bit-identical to sorting and
+    taking the middle element, for every odd k used in the code base."""
+    from sindslam_tpu.ops.image import _median_network
+
+    rng = np.random.default_rng(7)
+    for k in (3, 5, 9, 25):
+        x = rng.normal(size=(k, 23, 31)).astype(np.float32)
+        got = np.asarray(_median_network([jnp.asarray(x[i]) for i in range(k)]))
+        np.testing.assert_array_equal(got, np.median(x, axis=0))

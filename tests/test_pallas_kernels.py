@@ -150,3 +150,22 @@ def test_cc_labels_pallas_serpentine_at_budget():
     ids = np.unique(got[mask])
     assert len(ids) == 1, f"serpentine split into {len(ids)} components"
     assert (got[~mask] == 0).all()
+
+
+def test_extract_patches_pallas_parity():
+    """The BRIEF patch-extraction kernel (interpret mode) returns exactly
+    the same windows as direct slicing."""
+    from sindslam_tpu.ops.pallas_kernels import extract_patches_pallas
+
+    rng = np.random.default_rng(11)
+    h, w, P = 96, 160, 28
+    img = rng.normal(size=(h, w)).astype(np.float32)
+    n = 10
+    y0 = rng.integers(0, h - P, n).astype(np.int32)
+    x0 = rng.integers(0, w - P, n).astype(np.int32)
+    got = np.asarray(extract_patches_pallas(
+        jnp.asarray(img), jnp.asarray(y0), jnp.asarray(x0), patch=P,
+        group=5, interpret=True))
+    for k in range(n):
+        np.testing.assert_array_equal(
+            got[k], img[y0[k]:y0[k] + P, x0[k]:x0[k] + P])
