@@ -122,7 +122,14 @@ def test_windowed_global_ba_closes_a_120_keyframe_loop():
         uu, vv, zz = _project(true_poses[k], pw)   # exact observations
         ok = (zz > 0.3) & (uu > 2) & (uu < 637) & (vv > 2) & (vv < 477)
 
-        n = len(pw)
+        # static-shape convention: every keyframe is padded to the same
+        # capacity (build_ba_window stacks kf.point_ids across the window)
+        n = N_NEW + N_REUSE + N_LOOP
+        pad = n - len(pw)
+        uu = np.concatenate([uu, np.full(pad, 320.0)])
+        vv = np.concatenate([vv, np.full(pad, 240.0)])
+        zz = np.concatenate([zz, np.ones(pad)])
+        ok = np.concatenate([ok, np.zeros(pad, bool)])
         desc = rng.integers(0, 2 ** 32, (n, 8), dtype=np.uint32)
         xy = np.stack([uu, vv], -1).astype(np.float32)
         host = HostFrame(xy=xy, level=np.zeros(n, np.int32),
