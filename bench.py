@@ -20,7 +20,55 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
+def _probe_tpu_tunnel(
+    attempts: int = int(os.environ.get("BENCH_PROBE_ATTEMPTS", "4")),
+    timeout_s: float = float(os.environ.get("BENCH_PROBE_TIMEOUT_S", "240")),
+    retry_sleep_s: float = float(os.environ.get("BENCH_PROBE_SLEEP_S", "90")),
+) -> bool:
+    """True if the axon TPU backend initializes within bounds.
+
+    When the TPU tunnel is down, axon's backend init blocks FOREVER inside
+    make_c_api_client — every jax.devices() call hangs, and so would this
+    whole benchmark. Probe in a subprocess with a hard timeout (first axon
+    init through a healthy tunnel takes ~20-60 s; jax import alone is
+    ~20-40 s in this image) and retry across transient tunnel outages.
+    """
+    import subprocess
+
+    for k in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(len(jax.devices()))"],
+                timeout=timeout_s, capture_output=True)
+            if r.returncode == 0:
+                return True
+            print(f"tunnel probe attempt {k + 1}: exit {r.returncode}: "
+                  f"{r.stderr.decode(errors='replace')[-300:]}",
+                  file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print(f"tunnel probe attempt {k + 1}: no backend after "
+                  f"{timeout_s:.0f}s (tunnel down?)", file=sys.stderr)
+        if k + 1 < attempts:
+            time.sleep(retry_sleep_s)
+    return False
+
+
 def main() -> int:
+    if (os.environ.get("JAX_PLATFORMS") not in ("cpu", "")
+            and os.environ.get("BENCH_SKIP_PROBE") != "1"
+            and not _probe_tpu_tunnel()):
+        # A flagged failure line beats an infinite hang at round end: the
+        # driver parses the last JSON line either way.
+        print(json.dumps({
+            "metric": "front-end FPS at 640x480 (flow+recluster+ORB)",
+            "value": 0.0,
+            "unit": "fps",
+            "vs_baseline": 0.0,
+            "error": "TPU tunnel unreachable (axon backend init timed out)",
+        }))
+        return 1
+
     import jax
     import jax.numpy as jnp
 
