@@ -171,6 +171,13 @@ class DynaConfig:
     # pixels BELOW large_motion_flow_px drops under this (i.e. the 30th
     # percentile of flow exceeds ~10 px, DynaDetect.cc:1196-1211)
     large_motion_frac: float = 0.30
+    # wide-baseline flow composition on large-motion frames is disabled when
+    # the 30th-percentile magnitude also exceeds this (full-res n-2-
+    # equivalent px): at extreme motion the composed field reconstructs
+    # exactly the untrackable baseline the n-1 fallback exists to avoid
+    # (measured: composing at 4x walking speed floods the mask and loses
+    # tracking, while at 1-2x it restores the mover's residual SNR)
+    compose_max_flow_px: float = 30.0
     ransac_iters: int = 512
     ransac_thresh_px: float = 1.5
     low_thresh_min: float = 1.7

@@ -50,6 +50,7 @@ def scaled_system_config(scale: float = 1.0, n_features: int = 1000
         min_cluster_area=max(10, int(base.dyna.min_cluster_area * s2)),
         sample_grid_step=max(3, int(round(base.dyna.sample_grid_step * s))),
         large_motion_flow_px=base.dyna.large_motion_flow_px * s,
+        compose_max_flow_px=base.dyna.compose_max_flow_px * s,
         ransac_thresh_px=max(1.0, base.dyna.ransac_thresh_px * s),
         flood_min_area=base.dyna.flood_min_area * s2,
         flood_big_area=base.dyna.flood_big_area * s2,

@@ -48,10 +48,13 @@ def _pyramid_fn(gray, cfg: FlowConfig):
 
 @functools.partial(jax.jit, static_argnames=("fcfg", "dcfg", "out_hw"))
 def _flow_fallback_fn(pyr_cur, pyr_m1, pyr_m2, valid, prev_large,
-                      fcfg: FlowConfig, dcfg: DynaConfig, out_hw):
+                      fcfg: FlowConfig, dcfg: DynaConfig, out_hw,
+                      prev_flow_w=None):
     return flow_ops.flow_fallback_from_pyramids(
         pyr_cur, pyr_m1, pyr_m2, valid, prev_large, fcfg,
-        dcfg.large_motion_flow_px, dcfg.large_motion_frac, out_hw)
+        dcfg.large_motion_flow_px, dcfg.large_motion_frac, out_hw,
+        prev_flow_w=prev_flow_w,
+        compose_max_flow_px=dcfg.compose_max_flow_px)
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "cfg"))
@@ -67,14 +70,15 @@ def _geometry_fn(depth, prev_labels, cam: CameraConfig, cfg: DynaConfig):
 def _mask_fn(flow_u, flow_v, weight_map, valid, prev_high, label_img,
              cfg: DynaConfig, key, depth_m=None, prev_ratio_img=None,
              prev_dyn_score=None, unreliable=None, prev_dyn_depth=None,
-             prev_dyn=None):
+             prev_dyn=None, flow_w=None, flow_scale=None):
     fm = flow_residual_mask(flow_u, flow_v, weight_map, valid, cfg, key,
                             depth_m=depth_m, unreliable=unreliable,
                             prev_dyn=prev_dyn)
     fu = fuse_masks(fm.low_mask, fm.high_mask, prev_high, label_img, valid,
                     cfg, prev_ratio_img=prev_ratio_img,
                     prev_dyn_score=prev_dyn_score,
-                    prev_dyn_depth=prev_dyn_depth, depth_m=depth_m)
+                    prev_dyn_depth=prev_dyn_depth, depth_m=depth_m,
+                    flow_w=flow_w, flow_scale=flow_scale)
     return fm, fu
 
 
@@ -100,6 +104,9 @@ class DynaDetector:
         self._prev_ratio_img = jnp.zeros((h, w), jnp.float32)
         self._dyn_score = jnp.zeros((h, w), jnp.float32)
         self._dyn_depth = jnp.zeros((h, w), jnp.float32)
+        wh, ww = cfg.flow.working_height, cfg.flow.working_width
+        self._flow_w = (jnp.zeros((wh, ww), jnp.float32),
+                        jnp.zeros((wh, ww), jnp.float32))
         self._frame_idx = 0
         self._key = jax.random.PRNGKey(0)
 
@@ -129,9 +136,10 @@ class DynaDetector:
         # pyramids are cached across frames.
         pyr_cur = _pyramid_fn(gray, cfg.flow)
         pyr_m2 = self._pyr_m2 if self._pyr_m2 is not None else self._pyr_m1
-        u, v, lm, photo_err = _flow_fallback_fn(
+        u, v, lm, photo_err, flow_raw_w = _flow_fallback_fn(
             pyr_cur, self._pyr_m1, pyr_m2, valid, self._prev_large,
-            cfg.flow, cfg.dyna, (self.cam.height, self.cam.width))
+            cfg.flow, cfg.dyna, (self.cam.height, self.cam.width),
+            prev_flow_w=self._flow_w)
         unreliable = photo_err > cfg.dyna.photo_err_max
 
         # ---- geometry branch
@@ -148,7 +156,9 @@ class DynaDetector:
                           prev_dyn_score=self._dyn_score,
                           unreliable=unreliable,
                           prev_dyn_depth=self._dyn_depth,
-                          prev_dyn=self._prev_mask == cfg.dyna.mask_dynamic)
+                          prev_dyn=self._prev_mask == cfg.dyna.mask_dynamic,
+                          flow_w=flow_raw_w,
+                          flow_scale=jnp.where(lm, 1.0, 0.5))
 
         mask = fu.dyna_mask
 
@@ -162,6 +172,7 @@ class DynaDetector:
         self._prev_ratio_img = fu.ratio_img
         self._dyn_score = fu.dyn_score
         self._dyn_depth = fu.dyn_depth
+        self._flow_w = (flow_raw_w[0], flow_raw_w[1])
         self._frame_idx += 1
         return mask, rr.label_img
 

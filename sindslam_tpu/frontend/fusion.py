@@ -78,6 +78,16 @@ def fuse_masks(
     #   dynamic score from the previous frame; None disables persistence
     prev_dyn_depth: jnp.ndarray | None = None,  # (H, W) f32 evidence depth
     depth_m: jnp.ndarray | None = None,         # (H, W) f32 current depth
+    flow_w: tuple | None = None,  # (u, v, ok) RAW working-scale flow
+    #   n->prev target + scalar moderate-motion verdict (the trailing
+    #   elements of the flow_fallback_from_pyramids return); motion-
+    #   compensates the persisted evidence so it follows the mover instead
+    #   of ghosting at its stale position. Applied only where ok: at
+    #   extreme motion the flow is too unreliable to move masks by
+    #   (fast_cam at 4x walking speed lost tracking when warped)
+    flow_scale: jnp.ndarray | None = None,  # scalar: 1.0 when the raw flow
+    #   is n->n-1 (large motion), 0.5 when it is n->n-2 (constant-velocity
+    #   estimate of the one-frame displacement the persisted state needs)
     debug_skip: tuple = (),  # dev-only: internal stages to stub out when
     #   profiling marginal costs (tools/profile_fuse_ablation.py)
 ) -> FusionResult:
@@ -228,13 +238,40 @@ def fuse_masks(
         prev_score_h = jnp.zeros_like(label_h, dtype=jnp.float32)
     else:
         prev_score_h = im.subsample(prev_dyn_score).astype(jnp.float32)
-    # Persistence EVIDENCE is high-residual pixels and promoted clusters —
-    # NOT low-mask fills: residual parallax repaints the same low-mask
-    # carpet every frame, so fill-fed scores would accumulate false
-    # positives indefinitely over static background (measured: 50k+ px by
-    # frame 7 at full res). High evidence is Otsu-gated and parallax/
-    # photometric-filtered; promotions are corroborated by high coverage.
-    evidence_h = high_2 | (full_dyn_px & (label_h > 0))
+    # motion-compensate the persisted evidence: sample the previous score/
+    # depth where the flow says each pixel's content was last frame, so a
+    # bridged mover keeps its mask AT ITS CURRENT POSITION instead of
+    # leaving a ghost trail on disoccluded background (which keeps its own
+    # stable depth, so the depth release below cannot evict it). Score out
+    # of warp bounds = no evidence. Half-res warps; mm path on TPU (two
+    # ~0.3 ms contractions vs a ~77k-index scalar-unit gather each).
+    warp_uv_h = None
+    if flow_w is not None and prev_dyn_score is not None \
+            and "persistwarp" not in debug_skip:
+        fw_u, fw_v, flow_ok = flow_w
+        wh, ww = fw_u.shape
+        h2, w2 = label_h.shape
+        sc = 1.0 if flow_scale is None else flow_scale
+        u_h = im.resize_bilinear(fw_u, (h2, w2)) * ((w2 / ww) * sc)
+        v_h = im.resize_bilinear(fw_v, (h2, w2)) * ((h2 / wh) * sc)
+        warp_uv_h = (u_h, v_h, flow_ok)
+        if jax.default_backend() == "tpu" and min(h2, w2) >= 96:
+            warped_s, s_inb = im.warp_by_flow_mm(prev_score_h, u_h, v_h)
+        else:
+            warped_s, s_inb = im.warp_by_flow(prev_score_h, u_h, v_h)
+        prev_score_h = jnp.where(flow_ok & s_inb, warped_s, prev_score_h)
+        prev_score_h = jnp.where(flow_ok & ~s_inb, 0.0, prev_score_h)
+    # Persistence EVIDENCE is ELIGIBLE high-residual blobs (seed_h: the
+    # area+roundness-gated components) and promoted clusters — NOT raw
+    # high pixels and NOT low-mask fills: on large-motion (n->n-1) frames
+    # the raw high mask is mostly scattered parallax/noise (measured
+    # precision 0.04-0.15 while the mover sits under the threshold
+    # ladder's noise clamp), and every such pixel fed to the score paints
+    # stable-depth background the depth release can never evict; fills
+    # carpet through the low mask the same way (50k+ FP px by frame 7 at
+    # full res when fill-fed). The blob gate keeps only mover-shaped
+    # evidence; promotions are corroborated by high coverage.
+    evidence_h = seed_h | (full_dyn_px & (label_h > 0))
     # depth-change release (the reference's own 13% occlusion-veto law,
     # octomap_pub/src/pubPointCloud.cc:600): evidence remembers the depth
     # it was observed at; where the scene depth has since changed, the
@@ -247,8 +284,22 @@ def fuse_masks(
             prev_depth_h = d_h
         else:
             prev_depth_h = im.subsample(prev_dyn_depth).astype(jnp.float32)
+            if warp_uv_h is not None:
+                # evidence depth rides with its score (same warp): the
+                # depth-release compares the CURRENT depth under the mover
+                # against the depth the evidence was observed at
+                wu_h, wv_h, flow_ok = warp_uv_h
+                if jax.default_backend() == "tpu" \
+                        and min(prev_depth_h.shape) >= 96:
+                    warped_d, d_inb = im.warp_by_flow_mm(
+                        prev_depth_h, wu_h, wv_h)
+                else:
+                    warped_d, d_inb = im.warp_by_flow(
+                        prev_depth_h, wu_h, wv_h)
+                prev_depth_h = jnp.where(
+                    flow_ok, jnp.where(d_inb, warped_d, d_h), prev_depth_h)
         depth_ok = jnp.abs(d_h - prev_depth_h) < \
-            jnp.maximum(0.3, 0.13 * prev_depth_h)
+            jnp.maximum(0.12, 0.13 * prev_depth_h)
         carried = prev_score_h * cfg.persist_ratio_decay * depth_ok
         depth_store_h = jnp.where(evidence_h, d_h, prev_depth_h)
     else:

@@ -44,6 +44,9 @@ class FrontendState(NamedTuple):
     #                          evidence (temporal persistence)
     dyn_depth: jnp.ndarray   # (H, W) float32 depth at which the dynamic
     #                          evidence was observed (trail release)
+    flow_u_w: jnp.ndarray    # (wh, ww) float32 previous frame's RAW
+    flow_v_w: jnp.ndarray    # working-scale flow (wide-baseline composition
+    #                          on large-motion frames + persistence warp)
     key: jax.Array
 
 
@@ -71,6 +74,10 @@ def init_state(cfg: SystemConfig, gray0: jnp.ndarray) -> FrontendState:
         ratio_img=jnp.zeros((h, w), jnp.float32),
         dyn_score=jnp.zeros((h, w), jnp.float32),
         dyn_depth=jnp.zeros((h, w), jnp.float32),
+        flow_u_w=jnp.zeros((cfg.flow.working_height, cfg.flow.working_width),
+                           jnp.float32),
+        flow_v_w=jnp.zeros((cfg.flow.working_height, cfg.flow.working_width),
+                           jnp.float32),
         key=jax.random.PRNGKey(0),
     )
 
@@ -99,10 +106,14 @@ def frontend_step(
     # coarse-to-fine solve (round 2 solved the flow twice on 93% of
     # benchmark frames). Target pyramids come cached from the state.
     pyr_cur = flow_ops.working_pyramid(gray, cfg.flow)
-    u, v, large_motion, photo_err = flow_ops.flow_fallback_from_pyramids(
-        pyr_cur, state.pyr_m1, state.pyr_m2, valid, state.prev_large,
-        cfg.flow, cfg.dyna.large_motion_flow_px, cfg.dyna.large_motion_frac,
-        (cfg.camera.height, cfg.camera.width))
+    u, v, large_motion, photo_err, flow_raw_w = \
+        flow_ops.flow_fallback_from_pyramids(
+            pyr_cur, state.pyr_m1, state.pyr_m2, valid, state.prev_large,
+            cfg.flow, cfg.dyna.large_motion_flow_px,
+            cfg.dyna.large_motion_frac,
+            (cfg.camera.height, cfg.camera.width),
+            prev_flow_w=(state.flow_u_w, state.flow_v_w),
+            compose_max_flow_px=cfg.dyna.compose_max_flow_px)
     unreliable = photo_err > cfg.dyna.photo_err_max
 
     # geometry branch (dataflow-parallel with the flow branch inside XLA)
@@ -118,7 +129,9 @@ def frontend_step(
     fu = fuse_masks(fm.low_mask, fm.high_mask, state.prev_high, rr.label_img,
                     valid, cfg.dyna, prev_ratio_img=state.ratio_img,
                     prev_dyn_score=state.dyn_score,
-                    prev_dyn_depth=state.dyn_depth, depth_m=depth_m)
+                    prev_dyn_depth=state.dyn_depth, depth_m=depth_m,
+                    flow_w=flow_raw_w,
+                    flow_scale=jnp.where(large_motion, 1.0, 0.5))
 
     # driver-side dilation fused in (reference rgbd_tum_noros.cc:138) —
     # applied only to the FEATURE-erasure mask: the 15x15 ellipse is the
@@ -148,6 +161,8 @@ def frontend_step(
         ratio_img=fu.ratio_img,
         dyn_score=fu.dyn_score,
         dyn_depth=fu.dyn_depth,
+        flow_u_w=flow_raw_w[0],
+        flow_v_w=flow_raw_w[1],
         key=key,
     )
     out = FrontendOutput(dyna_mask=fu.dyna_mask.astype(jnp.int32),

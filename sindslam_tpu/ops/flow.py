@@ -316,7 +316,10 @@ def flow_fallback_from_pyramids(
     large_motion_flow_px: float,
     large_motion_frac: float,
     out_hw: Tuple[int, int],
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    prev_flow_w: Tuple[jnp.ndarray, jnp.ndarray] | None = None,
+    compose_max_flow_px: float = 30.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray,
+           Tuple[jnp.ndarray, jnp.ndarray]]:
     """Flow n->n-2 with the reference's large-motion fallback to n->n-1
     (``src/DynaDetect.cc:1086-1131``) — at exactly ONE coarse-to-fine solve
     per frame in steady state.
@@ -340,10 +343,27 @@ def flow_fallback_from_pyramids(
     magnitudes are doubled for the decision (constant-velocity estimate of
     the n->n-2 motion the reference's 10 px threshold is defined on).
 
-    Returns ``(u_full, v_full, large_motion, photo_err)`` at ``out_hw``
-    resolution; ``large_motion`` means the n->n-1 field was produced, and
-    ``photo_err`` is the per-pixel photometric warp error of the final
-    flow (1.0 where the warp left the image) for reliability gating.
+    ``prev_flow_w``, when given, is the PREVIOUS frame's raw working-scale
+    flow field: on large-motion frames the returned detection flow is the
+    COMPOSITION of the fresh n->n-1 solve with the previous field warped
+    into the current frame (one warp, no second solve). The n->n-1 baseline
+    alone halves/thirds a slow mover's residual below the threshold
+    ladder's ~1.7 px noise clamp (the detector goes blind exactly when the
+    camera moves fast); the composed field restores the wide temporal
+    baseline the reference's n->n-2 residual test assumes. The homography
+    fit downstream adapts to the composed baseline automatically.
+
+    Returns ``(u_full, v_full, large_motion, photo_err, (u_w, v_w, ok))``:
+    detection flow at ``out_hw`` resolution (composed on large-motion
+    frames when ``prev_flow_w`` was given); ``large_motion`` means the
+    n->n-1 field was produced; ``photo_err`` is the per-pixel photometric
+    warp error of the RAW solved flow (1.0 where the warp left the image)
+    for reliability gating; ``(u_w, v_w, ok)`` is the raw working-scale
+    flow to feed back as the next frame's ``prev_flow_w`` (only the first
+    two elements), plus the scalar moderate-motion verdict ``ok`` — flow-
+    warping persisted masks is only trustworthy under the same bound that
+    gates composition (fast_cam measured: warping persisted state at 4x
+    walking speed breaks tracking).
     """
     H, W = out_hw
     shapes = [p.shape for p in pyr_cur]
@@ -369,6 +389,12 @@ def flow_fallback_from_pyramids(
     n_ok = jnp.sum(val_c) + 1e-9
     frac_below = jnp.sum((mag <= large_motion_flow_px) & val_c) / n_ok
     large_motion = frac_below < large_motion_frac
+    # composition sanity gate (same quantile semantics, wider threshold):
+    # when even compose_max_flow_px is exceeded at the 30th percentile, the
+    # wide-baseline composed field would be the untrackable n->n-2 field
+    # the fallback just avoided — keep the raw n->n-1 flow for detection
+    frac_below_wide = jnp.sum((mag <= compose_max_flow_px) & val_c) / n_ok
+    compose_ok = frac_below_wide >= large_motion_frac
 
     def _continue_t1(uv):
         u, v = uv
@@ -402,9 +428,27 @@ def flow_fallback_from_pyramids(
     photo_err_w = jnp.where(inb, jnp.abs(warped - pyr_cur[0]), 1.0)
     photo_err = im.resize_bilinear(photo_err_w, (H, W))
 
-    u_full = im.resize_bilinear(u, (H, W)) * (W / ww)
-    v_full = im.resize_bilinear(v, (H, W)) * (H / wh)
-    return u_full, v_full, large_motion, photo_err
+    # wide-baseline composition for the DETECTION field (see docstring):
+    # sample the previous frame's flow where this frame's flow says each
+    # pixel came from, and chain the displacements. Raw flow (u, v) is
+    # what rolls into next frame's state — composing composed flow would
+    # compound baselines without bound.
+    u_det, v_det = u, v
+    if prev_flow_w is not None:
+        pu, pv = prev_flow_w[0], prev_flow_w[1]
+        if _use_pallas(cfg) and min(u.shape) >= 96:
+            cu, cinb = im.warp_by_flow_mm(pu, u, v)
+            cv, _ = im.warp_by_flow_mm(pv, u, v)
+        else:
+            cu, cinb = im.warp_by_flow(pu, u, v)
+            cv, _ = im.warp_by_flow(pv, u, v)
+        gate = large_motion & compose_ok & cinb
+        u_det = jnp.where(gate, u + cu, u)
+        v_det = jnp.where(gate, v + cv, v)
+
+    u_full = im.resize_bilinear(u_det, (H, W)) * (W / ww)
+    v_full = im.resize_bilinear(v_det, (H, W)) * (H / wh)
+    return u_full, v_full, large_motion, photo_err, (u, v, compose_ok)
 
 
 def flow_with_fallback(
@@ -421,7 +465,7 @@ def flow_with_fallback(
     photometric-error plane). The fused pipeline uses the pyramid-state
     variant directly."""
     H, W = gray_full.shape
-    u, v, lm, _photo = flow_fallback_from_pyramids(
+    u, v, lm, _photo, _raw = flow_fallback_from_pyramids(
         working_pyramid(gray_full, cfg),
         working_pyramid(gray_m1_full, cfg),
         working_pyramid(gray_m2_full, cfg),

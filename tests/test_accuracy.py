@@ -50,11 +50,12 @@ def test_dyn_walk_full_res():
     r = accuracy_pair("dyn_walk", n_frames=10, scale=1.0)
     assert r["ate_masked_m"] < 0.01, r
     assert r["ate_masked_m"] < r["ate_unmasked_m"] + 1e-3, r
-    # floor raised 0.3 -> 0.55 -> 0.6 in r3 (temporal persistence, then the
+    # floor raised 0.3 -> 0.55 -> 0.6 -> 0.64 in r3 (temporal persistence;
     # parallax-fit hard-rejection + prev-mover exclusion + EPE-matched
-    # tolerance; measured 0.66 full-res on CPU, TPU within 0.01 after the
-    # HIGHEST-precision homography fixes)
-    assert r["mask_iou"] > 0.6, r
+    # tolerance; then wide-baseline flow composition on large-motion frames
+    # + blob-gated persistence evidence + flow-warped persisted state:
+    # measured 0.676 full-res on CPU, ATE masked 2.8 mm vs 14.3 unmasked)
+    assert r["mask_iou"] > 0.64, r
 
 
 @pytest.mark.slow

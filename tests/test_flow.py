@@ -147,6 +147,40 @@ class TestFlowWithFallback:
         # the returned flow must be the n->n-1 field (~14 px), not n->n-2
         assert abs(float(np.asarray(u)[30:-30, 40:-30].mean()) - 14.0) < 3.0
 
+    def test_wide_baseline_composition_on_large_motion(self):
+        """On a large-motion frame with prev_flow_w given, the returned
+        DETECTION flow is the n->n-1 solve composed with the previous
+        frame's (warped) field — a constant 14 px/frame translation must
+        yield a ~28 px composed field; the raw-state return stays ~14 px.
+        With composition gated off (compose_max below the motion) the
+        detection flow is the raw n->n-1 field."""
+        img = _smooth_textured(120, 160, seed=6)
+        g_m2 = img
+        g_m1 = _shift_image(img, -14.0, 0.0)
+        g = _shift_image(img, -28.0, 0.0)
+        valid = jnp.ones((120, 160), bool)
+        pyr = lambda x: F.working_pyramid(jnp.asarray(x), self.CFG)
+        # previous frame's raw flow field (n-1 -> n-2 = 14 px), constant
+        wh, ww = self.CFG.working_height, self.CFG.working_width
+        pu = jnp.full((wh, ww), 14.0 * ww / 160.0)
+        pv = jnp.zeros((wh, ww))
+        u, v, lm, _pe, raw = F.flow_fallback_from_pyramids(
+            pyr(g), pyr(g_m1), pyr(g_m2), valid, jnp.asarray(True),
+            self.CFG, 10.0, 0.30, (120, 160), prev_flow_w=(pu, pv),
+            compose_max_flow_px=100.0)
+        assert bool(lm) and bool(raw[2])
+        interior = np.asarray(u)[30:-30, 45:-40]
+        assert abs(float(interior.mean()) - 28.0) < 3.0, interior.mean()
+        raw_mean = float(np.asarray(raw[0]).mean()) * (160.0 / ww)
+        assert abs(raw_mean - 14.0) < 3.0, raw_mean
+        # gate off: detection flow is the raw n->n-1 field
+        u2, _v2, lm2, _pe2, raw2 = F.flow_fallback_from_pyramids(
+            pyr(g), pyr(g_m1), pyr(g_m2), valid, jnp.asarray(True),
+            self.CFG, 10.0, 0.30, (120, 160), prev_flow_w=(pu, pv),
+            compose_max_flow_px=5.0)
+        assert bool(lm2) and not bool(raw2[2])
+        assert abs(float(np.asarray(u2)[30:-30, 45:-40].mean()) - 14.0) < 3.0
+
     def test_decision_matches_full_solve_decision(self):
         """The coarse-level decision agrees with the round-2 semantics
         (full-res magnitude histogram of the complete n->n-2 solve) on

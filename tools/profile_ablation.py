@@ -54,7 +54,7 @@ def step_ablated(rgb, depth_m, state, cfg, skip=()):
         unreliable = None
     else:
         pyr_cur = flow_ops.working_pyramid(gray, cfg.flow)
-        u, v, large_motion, photo_err = flow_ops.flow_fallback_from_pyramids(
+        u, v, large_motion, photo_err, _raw = flow_ops.flow_fallback_from_pyramids(
             pyr_cur, state.pyr_m1, state.pyr_m2, valid, state.prev_large,
             cfg.flow, cfg.dyna.large_motion_flow_px,
             cfg.dyna.large_motion_frac, (H, W))

@@ -42,7 +42,7 @@ depth_m = jnp.asarray(frames[PROBE][1])
 gray = im.rgb_to_gray(rgb)
 valid = (depth_m > 0.05) & (depth_m <= cfg.dyna.max_depth_m)
 pyr_cur = flow_ops.working_pyramid(gray, cfg.flow)
-u, v, large, photo_err = flow_ops.flow_fallback_from_pyramids(
+u, v, large, photo_err, _raw = flow_ops.flow_fallback_from_pyramids(
     pyr_cur, state.pyr_m1, state.pyr_m2, valid, state.prev_large,
     cfg.flow, cfg.dyna.large_motion_flow_px, cfg.dyna.large_motion_frac,
     (cfg.camera.height, cfg.camera.width))

@@ -60,6 +60,7 @@ ratio_img = jnp.zeros((cfg.camera.height, cfg.camera.width), jnp.float32)
 dyn_score = jnp.zeros((cfg.camera.height, cfg.camera.width), jnp.float32)
 dyn_depth_st = jnp.zeros((cfg.camera.height, cfg.camera.width), jnp.float32)
 prev_labels = None
+flow_w = None
 
 rows = []
 for fi, (rgb, depth, gt_dyn, _p, _t) in enumerate(frames):
@@ -72,10 +73,11 @@ for fi, (rgb, depth, gt_dyn, _p, _t) in enumerate(frames):
         kml, _ = seg_by_kmeans(d, cfg.camera, cfg.dyna, prev_labels)
         prev_labels = kml
         continue
-    u, v, lm, photo_err = flow_ops.flow_fallback_from_pyramids(
+    u, v, lm, photo_err, flow_raw_w = flow_ops.flow_fallback_from_pyramids(
         pyr_cur, pyr_m1, pyr_m2, valid, prev_large, cfg.flow,
         cfg.dyna.large_motion_flow_px, cfg.dyna.large_motion_frac,
-        (cfg.camera.height, cfg.camera.width))
+        (cfg.camera.height, cfg.camera.width), prev_flow_w=flow_w,
+        compose_max_flow_px=cfg.dyna.compose_max_flow_px)
     unreliable = photo_err > cfg.dyna.photo_err_max
     kml, _ = seg_by_kmeans(d, cfg.camera, cfg.dyna, prev_labels)
     er = cal_occluded(d, cfg.camera, cfg.dyna)
@@ -87,7 +89,8 @@ for fi, (rgb, depth, gt_dyn, _p, _t) in enumerate(frames):
     fu = fuse_masks(fm.low_mask, fm.high_mask, prev_high, rr.label_img,
                     valid, cfg.dyna, prev_ratio_img=ratio_img,
                     prev_dyn_score=dyn_score, prev_dyn_depth=dyn_depth_st,
-                    depth_m=d)
+                    depth_m=d, flow_w=flow_raw_w,
+                    flow_scale=jnp.where(lm, 1.0, 0.5))
     dyn_wide = im.dilate_ellipse((fu.dyna_mask == cfg.dyna.mask_dynamic
                                   ).astype(jnp.float32),
                                  cfg.dyna.mask_dilate_ksize) > 0.5
@@ -118,6 +121,7 @@ for fi, (rgb, depth, gt_dyn, _p, _t) in enumerate(frames):
     ratio_img = fu.ratio_img
     dyn_score = fu.dyn_score
     dyn_depth_st = fu.dyn_depth
+    flow_w = (flow_raw_w[0], flow_raw_w[1])
 
 print(f"sequence={SEQ} scale={SCALE} frames={FRAMES}")
 for row, stats in rows:

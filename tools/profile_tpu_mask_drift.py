@@ -75,7 +75,7 @@ g1 = im.rgb_to_gray(jnp.asarray(frames[6][0]))
 p0 = flow_ops.working_pyramid(g0, cfg.flow)
 p1 = flow_ops.working_pyramid(g1, cfg.flow)
 valid = jnp.asarray(frames[6][1]) > 0.05
-u, v, lm, pe = flow_ops.flow_fallback_from_pyramids(
+u, v, lm, pe, _raw = flow_ops.flow_fallback_from_pyramids(
     p1, p0, p0, valid, jnp.asarray(False), cfg.flow, 10.0, 0.1,
     (cfg.camera.height, cfg.camera.width))
 dump["flow_u"] = np.asarray(u)
