@@ -1,4 +1,5 @@
-"""Batched local bundle adjustment: dense-Schur Gauss-Newton on padded windows.
+"""Batched local bundle adjustment: dense-Schur Levenberg-Marquardt on
+padded windows.
 
 Replaces g2o's sparse ``LocalBundleAdjustment`` (reference
 ``ORB_SLAM2/src/Optimizer.cc:453`` + ``Thirdparty/g2o``) with a fixed-shape
@@ -6,13 +7,21 @@ formulation built for the MXU:
 
 - the window holds up to ``n_kf`` keyframe poses and ``n_pts`` points;
   observations are a flat padded table (kf idx, pt idx, uv, uR, level, valid);
-- each GN iteration builds the full system via batched 2x2-block algebra:
+- each LM iteration builds the full system via batched 2x2-block algebra:
   per-point 3x3 Hessians are inverted in closed form, the pose-pose Schur
   complement S = Hcc - Hcp Hpp^-1 Hpc is a (6 nkf, 6 nkf) dense matrix
   assembled with one-hot matmuls, solved with Cholesky, and points are
   back-substituted — no sparse graph, no pointer chasing;
 - Huber robust weights + a chi2 outlier round, like the reference's two-stage
-  optimize (5 + 10 iterations with outlier removal in between).
+  optimize (5 + 10 iterations with outlier removal in between);
+- Marquardt-scaled damping with monotone accept/reject (the role of g2o's
+  ``OptimizationAlgorithmLevenberg``): each candidate step is evaluated on
+  the robust total cost and REJECTED (lambda x8) if it increases it. Plain
+  GN with fixed absolute damping diverges here: a near-zero-parallax far
+  point leaves Hpp nearly singular along the ray, the 1e-4-damped solve
+  takes ~1e4 m point steps, and the Schur coupling drags keyframe poses
+  meters per iteration (measured on the stereo 10-frame sequence: keyframe
+  centers at 1e2..1e8 m after the shutdown sweeps).
 
 Gauge: pose 0 of the window (the oldest keyframe) is held fixed, like the
 reference fixing keyframe 0 / out-of-window anchors.
@@ -130,8 +139,46 @@ def _residuals_jac(problem: BAProblem, cam: CameraConfig, inv_sigma2,
     return r, row_valid, chi2, J_pose, J_point
 
 
+def _chi2_eval(problem: BAProblem, cam: CameraConfig, inv_sigma2):
+    """Residual-only chi2 per observation + a count of active rows the
+    current state puts behind the camera (those rows carry NO chi2, so the
+    LM acceptance test must penalize them explicitly or a step that pushes
+    points behind the camera reads as cost 0)."""
+    K = problem.poses.shape[0]
+    kf1h = (problem.obs_kf[:, None] == jnp.arange(K)[None, :]
+            ).astype(jnp.float32)
+    T = jnp.einsum("mk,kab->mab", kf1h, problem.poses, precision=_HI)
+    pw = problem.points[problem.obs_pt]
+    pc = jnp.einsum("mij,mj->mi", T[:, :3, :3], pw, precision=_HI) + T[:, :3, 3]
+    X, Y, Z = pc[:, 0], pc[:, 1], pc[:, 2]
+    z_ok = Z > 1e-3
+    iz = 1.0 / jnp.where(z_ok, Z, 1.0)
+    u = cam.fx * X * iz + cam.cx
+    v = cam.fy * Y * iz + cam.cy
+    ur = u - cam.bf * iz
+    has_stereo = problem.obs_ur >= 0
+    r = jnp.stack([u - problem.obs_uv[:, 0], v - problem.obs_uv[:, 1],
+                   jnp.where(has_stereo, ur - problem.obs_ur, 0.0)], axis=-1)
+    row_valid = jnp.stack([z_ok, z_ok, z_ok & has_stereo], -1) & \
+        problem.obs_valid[:, None]
+    chi2 = jnp.sum(jnp.where(row_valid, r * r, 0.0), -1) * inv_sigma2
+    return chi2, z_ok
+
+
+def _robust_cost(chi2, z_ok, active, delta):
+    """Total Huber cost over active rows; behind-camera rows cost as if at
+    the Huber cap with a large residual (keeps the LM merit function
+    monotone-meaningful)."""
+    sqrt_chi = jnp.sqrt(chi2 + 1e-12)
+    rho = jnp.where(sqrt_chi <= delta, chi2,
+                    2.0 * delta * sqrt_chi - delta * delta)
+    bad = active & ~z_ok
+    return (jnp.sum(jnp.where(active & z_ok, rho, 0.0))
+            + 1e4 * jnp.sum(bad.astype(jnp.float32)))
+
+
 def _gn_iteration(problem: BAProblem, cam, cfg: TrackingConfig, inv_sigma2,
-                  active, use_huber, damping: float):
+                  active, use_huber, lam):
     K = problem.poses.shape[0]
     P = problem.points.shape[0]
     kf1h = (problem.obs_kf[:, None] == jnp.arange(K)[None, :]
@@ -166,8 +213,11 @@ def _gn_iteration(problem: BAProblem, cam, cfg: TrackingConfig, inv_sigma2,
                               num_segments=P).reshape(P, 3, 3)
     bp = jax.ops.segment_sum(bp_o, problem.obs_pt, num_segments=P)
 
-    # damping + fixed poses
-    Hpp = Hpp + (damping + 1e-5) * jnp.broadcast_to(jnp.eye(3), Hpp.shape)
+    # Marquardt-scaled damping (relative to the block diagonal — absolute
+    # damping under-regularizes the near-singular along-ray direction of
+    # low-parallax points) + a small absolute floor, then fixed poses
+    eye3 = jnp.broadcast_to(jnp.eye(3), Hpp.shape)
+    Hpp = Hpp + lam * Hpp * jnp.eye(3) + 1e-5 * eye3
     Hpp_inv = _inv3x3(Hpp)                                         # (P,3,3)
 
     free = ~problem.fixed_mask
@@ -191,7 +241,8 @@ def _gn_iteration(problem: BAProblem, cam, cfg: TrackingConfig, inv_sigma2,
     g = g.reshape(K * 6)
     free6 = jnp.repeat(free, 6)
     S = jnp.where(free6[:, None] & free6[None, :], S, 0.0)
-    S = S + jnp.diag(jnp.where(free6, damping, 1.0) + 1e-5)
+    dS = jnp.diagonal(S)
+    S = S + jnp.diag(jnp.where(free6, lam * dS + 1e-5, 1.0))
     g = jnp.where(free6, g, 0.0)
     dx_c = -jnp.linalg.solve(S, g).reshape(K, 6)
     dx_c = jnp.where(jnp.isfinite(dx_c), dx_c, 0.0)
@@ -215,20 +266,42 @@ def _gn_iteration(problem: BAProblem, cam, cfg: TrackingConfig, inv_sigma2,
 @functools.partial(jax.jit, static_argnames=("cam", "cfg"))
 def local_bundle_adjustment(problem: BAProblem, cam: CameraConfig,
                             cfg: TrackingConfig) -> BAResult:
-    """Two-stage robust GN (parity: Optimizer.cc:453 — 5 iters, outlier
-    removal, 10 more iters)."""
+    """Two-stage robust LM (parity: Optimizer.cc:453 — 5 iters, outlier
+    removal, 10 more iters; monotone acceptance is g2o's Levenberg loop)."""
     inv_sigma2 = (1.0 / 1.2 ** 2) ** problem.obs_level.astype(jnp.float32)
     active = problem.obs_valid
+    delta = jnp.where(problem.obs_ur >= 0, jnp.sqrt(cfg.chi2_stereo),
+                      jnp.sqrt(cfg.chi2_mono))
 
     def run(problem, active, n_iters, use_huber):
-        def it(carry, _):
-            prob = carry
-            prob, chi2 = _gn_iteration(prob, cam, cfg, inv_sigma2, active,
-                                       use_huber, damping=1e-4)
-            return prob, chi2
+        chi2_0, z_ok0 = _chi2_eval(problem, cam, inv_sigma2)
+        cost0 = _robust_cost(chi2_0, z_ok0, active, delta)
 
-        problem, chi2s = jax.lax.scan(it, problem, None, length=n_iters)
-        return problem, chi2s[-1]
+        def it(carry, _):
+            prob, lam, cost = carry
+            cand, _ = _gn_iteration(prob, cam, cfg, inv_sigma2, active,
+                                    use_huber, lam)
+            chi2_n, z_ok_n = _chi2_eval(cand, cam, inv_sigma2)
+            cost_n = _robust_cost(chi2_n, z_ok_n, active, delta)
+            ok = cost_n < cost
+            prob = prob._replace(
+                poses=jnp.where(ok, cand.poses, prob.poses),
+                points=jnp.where(ok, cand.points, prob.points))
+            lam = jnp.clip(jnp.where(ok, lam * (1.0 / 3.0), lam * 10.0),
+                           1e-8, 1e6)
+            cost = jnp.where(ok, cost_n, cost)
+            return (prob, lam, cost), None
+
+        # g2o's Levenberg initializes lambda = tau * max(diag H) with
+        # tau=1e-5; the relative damping here plays the diag(H) role, so
+        # lam0=1e-5 starts near-GN (the old absolute 1e-4 damping behaved
+        # like GN too) and the monotone reject (x10) is what bounds the
+        # low-parallax blow-up — NOT a heavy initial damping, which costs
+        # convergence inside the fixed 5+10 iteration budget.
+        (problem, _, _), _ = jax.lax.scan(
+            it, (problem, jnp.float32(1e-5), cost0), None, length=n_iters)
+        chi2, _ = _chi2_eval(problem, cam, inv_sigma2)
+        return problem, chi2
 
     problem, chi2 = run(problem, active, 5, True)
     thresh = jnp.where(problem.obs_ur >= 0, cfg.chi2_stereo, cfg.chi2_mono)

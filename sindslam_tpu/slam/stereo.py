@@ -71,11 +71,13 @@ def _sad_subpixel(grayL: jnp.ndarray, grayR: jnp.ndarray,
     return jnp.where(ok, ur_ref, ur0)
 
 
-@functools.partial(jax.jit, static_argnames=("cam", "max_hamming"))
+@functools.partial(jax.jit, static_argnames=("cam", "max_hamming",
+                                              "th_depth_mult"))
 def stereo_match(featsL, featsR, cam: CameraConfig,
                  max_hamming: int = 80, min_z: float = 0.3,
                  grayL: jnp.ndarray | None = None,
                  grayR: jnp.ndarray | None = None,
+                 th_depth_mult: float = 1e6,
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Left/right keypoint matching on rectified images.
 
@@ -83,6 +85,14 @@ def stereo_match(featsL, featsR, cam: CameraConfig,
     where no right match exists. Row tolerance is 2 px scaled by the
     keypoint's pyramid level, like the reference's vRowIndices band
     (``Frame.cc:475-493``).
+
+    ``th_depth_mult``: optional close-point policy — stereo depth beyond
+    ``th_depth_mult * baseline`` is discarded (the reference's ThDepth=40,
+    ``Examples/RGB-D/TUM1.yaml`` + ``Tracking.cc`` mThDepth, applied there
+    at map-point creation). Off by default: the reference still CREATES far
+    stereo points when close ones are scarce, and the BA's LM accept/reject
+    loop (``ba.py``) — not this gate — is what keeps a fabricated
+    near-zero-disparity far point from destabilizing the solve.
     """
     uvL, uvR = featsL.xy, featsR.xy
     D = orb.hamming_distance_matrix(featsL.desc, featsR.desc)  # (NL, NR)
@@ -90,10 +100,15 @@ def stereo_match(featsL, featsR, cam: CameraConfig,
     level_scale = 1.2 ** featsL.level.astype(jnp.float32)
     row_tol = 2.0 * level_scale
     row_ok = jnp.abs(uvL[:, 1:2] - uvR[None, :, 1]) <= row_tol[:, None]
+    # pyramid-level consistency (reference Frame.cc:484-489: candidates come
+    # from levels [l-1, l+1] only): a coarse-level blob matched to a fine
+    # corner is how repeated texture fabricates near-zero-disparity fars
+    lvl_ok = jnp.abs(featsL.level[:, None] - featsR.level[None, :]) <= 1
     disp = uvL[:, 0:1] - uvR[None, :, 0]                       # (NL, NR)
     max_disp = cam.bf / min_z
     disp_ok = (disp > 0.2) & (disp < max_disp)
-    ok = row_ok & disp_ok & featsL.valid[:, None] & featsR.valid[None, :]
+    ok = row_ok & lvl_ok & disp_ok \
+        & featsL.valid[:, None] & featsR.valid[None, :]
 
     BIG = jnp.int32(1 << 20)
     Dm = jnp.where(ok, D, BIG)
@@ -111,9 +126,17 @@ def stereo_match(featsL, featsR, cam: CameraConfig,
     if grayL is not None and grayR is not None:
         ur = jnp.where(matched,
                        _sad_subpixel(grayL, grayR, uvL, ur, matched), ur)
-    disparity = jnp.maximum(uvL[:, 0] - ur, 1e-3)
-    depth = jnp.where(matched, cam.bf / disparity, 0.0)
-    depth = jnp.where(depth >= min_z, depth, 0.0)
+    # re-check the disparity bounds AFTER subpixel refinement: the SAD
+    # search can move ur by up to max_shift+1 px, and a near-zero-disparity
+    # match pushed negative must be REJECTED, not clamped — a clamped
+    # disparity floor manufactures a bf/eps multi-km point that passes the
+    # min_z gate and detonates bundle adjustment (reference discards
+    # out-of-range refinements, Frame.cc:598-608)
+    disparity = uvL[:, 0] - ur
+    good = matched & (disparity > 0.2) & (disparity < max_disp)
+    depth = jnp.where(good, cam.bf / jnp.maximum(disparity, 1e-3), 0.0)
+    th_depth = th_depth_mult * cam.bf / cam.fx           # 40 x baseline
+    depth = jnp.where((depth >= min_z) & (depth <= th_depth), depth, 0.0)
     ur = jnp.where(depth > 0, ur, -1.0)
     return depth, ur
 

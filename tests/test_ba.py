@@ -96,6 +96,58 @@ def test_ba_reduces_error():
     assert float(res.mean_chi2) < 3.0
 
 
+def test_ba_low_parallax_far_point_does_not_destabilize():
+    """Regression (r3 stereo divergence): a far point observed with
+    near-zero ray parallax leaves its 3x3 Hessian block near-singular along
+    the ray; fixed absolute damping let GN take ~1e4 m point steps whose
+    Schur coupling dragged keyframe poses meters per iteration (measured
+    1e2..1e8 m keyframe centers on the stereo 10-frame sequence). The LM
+    accept/reject loop + Marquardt-scaled damping must keep both the poses
+    and the far point bounded."""
+    rng = np.random.default_rng(3)
+    problem, gt_poses, gt_pts, n_pts = _make_problem(rng)
+
+    # fabricate a 35 m point (fake near-zero-disparity stereo match /
+    # low-parallax triangulation) with mildly inconsistent mono
+    # observations from every keyframe — residuals small enough to survive
+    # the chi2 trim, parallax ~0.16 deg over the 0.4 m window baseline
+    far = np.array([0.5, -0.3, 35.0], np.float32)
+    pid = n_pts                      # first padded slot
+    pts = np.array(problem.points)
+    pts[pid] = far
+    obs_kf = np.array(problem.obs_kf)
+    obs_pt = np.array(problem.obs_pt)
+    obs_uv = np.array(problem.obs_uv)
+    obs_ur = np.array(problem.obs_ur)
+    obs_valid = np.array(problem.obs_valid)
+    m = int(obs_valid.sum())
+    for k in range(len(gt_poses)):
+        R, t = gt_poses[k][:3, :3], gt_poses[k][:3, 3]
+        pc = far @ R.T + t
+        obs_kf[m + k] = k
+        obs_pt[m + k] = pid
+        obs_uv[m + k] = [CAM.fx * pc[0] / pc[2] + CAM.cx + rng.normal(0, 2.0),
+                         CAM.fy * pc[1] / pc[2] + CAM.cy + rng.normal(0, 2.0)]
+        obs_ur[m + k] = -1.0
+        obs_valid[m + k] = True
+    problem = problem._replace(
+        points=jnp.asarray(pts), obs_kf=jnp.asarray(obs_kf),
+        obs_pt=jnp.asarray(obs_pt), obs_uv=jnp.asarray(obs_uv),
+        obs_ur=jnp.asarray(obs_ur), obs_valid=jnp.asarray(obs_valid))
+
+    res = local_bundle_adjustment(problem, CAM, CFG)
+    assert np.isfinite(np.asarray(res.packed)).all()
+    # the far point may slide along its (unconstrained) ray but must stay
+    # bounded — under the old GN it reached hundreds of meters
+    assert np.linalg.norm(np.asarray(res.points)[pid]) < 120.0
+    # poses still converge to ground truth despite the bad point
+    for k in range(1, len(gt_poses)):
+        e = np.asarray(se3.se3_log(jnp.asarray(
+            (np.asarray(res.poses)[k] @ np.linalg.inv(gt_poses[k]))[None]
+            .astype(np.float32))))[0]
+        assert np.linalg.norm(e) < 0.02, (k, np.linalg.norm(e))
+
+
 def test_global_ba_windowed_sweep_refines_whole_map():
     """run_global_ba (role of Optimizer.cc:41 GlobalBundleAdjustemnt):
     overlapping windows refine a map LONGER than one BA window end-to-end."""
