@@ -290,6 +290,16 @@ class TrackingConfig:
     ba_max_keyframes: int = 20
     ba_max_points: int = 4096
     ba_iterations: int = 10
+    # Joint global BA (matrix-free PCG on the Schur complement, ``gba.py``;
+    # the role of Optimizer.cc:41 GlobalBundleAdjustemnt). Maps up to these
+    # caps solve JOINTLY; larger maps fall back to windowed sweeps.
+    # Capacities are bucketed to powers of two at dispatch, so the caps
+    # bound compile variants, not memory for small maps.
+    gba_max_keyframes: int = 128
+    gba_max_points: int = 32768
+    gba_max_obs: int = 131072
+    gba_iterations: int = 20    # ref Optimizer.cc:41 nIterations=20
+    gba_cg_iters: int = 100
     # Map management
     max_map_points: int = 65536
     max_keyframes: int = 2048

@@ -305,10 +305,16 @@ class LocalMap:
     # --------------------------------------------------------------- BA
 
     def build_ba_window(self, n_recent: Optional[int] = None,
-                        window: Optional[List[KeyFrame]] = None
+                        window: Optional[List[KeyFrame]] = None,
+                        cap_kf: Optional[int] = None,
+                        cap_pts: Optional[int] = None,
+                        cap_obs: Optional[int] = None,
                         ) -> Optional[Tuple[BAProblem, List[KeyFrame], np.ndarray]]:
         """Assemble a padded BAProblem over a keyframe window (default: the
         most recent keyframes).
+
+        ``cap_kf``/``cap_pts``/``cap_obs`` override the local-BA padding
+        capacities (used by the joint global BA with power-of-two buckets).
 
         Returns (problem, window_kfs, point_id_lut) or None if too small.
         point_id_lut maps BA point slots -> global map-point ids.
@@ -332,9 +338,10 @@ class LocalMap:
         if len(pid) < 30:
             return None
 
-        # first-seen-order unique point slots, capped at ba_max_points
+        # first-seen-order unique point slots, capped at the point capacity
+        P = cap_pts or cfg.ba_max_points
         uniq, first = np.unique(pid, return_index=True)
-        uniq = uniq[np.argsort(first)][:cfg.ba_max_points]
+        uniq = uniq[np.argsort(first)][:P]
         slot_of = np.full(cfg.max_map_points, -1, np.int64)
         slot_of[uniq] = np.arange(len(uniq))
         pslot = slot_of[pid]
@@ -343,13 +350,12 @@ class LocalMap:
         if len(pslot) < 30:
             return None
 
-        P = cfg.ba_max_points
         lut = np.full(P, -1, np.int64)
         lut[:len(uniq)] = uniq
         pts = np.zeros((P, 3), np.float32)
         pts[:len(uniq)] = self.pos[uniq]
 
-        M = 4 * P
+        M = cap_obs or (4 * P)
         n_obs = min(len(pslot), M)
         host_xy = np.stack([kf.h.xy for kf in window])             # (S, N, 2)
         host_ur = np.stack([kf.h.ur for kf in window])
@@ -368,7 +374,7 @@ class LocalMap:
         obs_ok[:n_obs] = True
 
         poses = np.stack([kf.Tcw for kf in window]).astype(np.float32)
-        K = cfg.ba_max_keyframes
+        K = cap_kf or cfg.ba_max_keyframes
         if len(window) < K:
             poses = np.concatenate(
                 [poses, np.broadcast_to(np.eye(4, dtype=np.float32),
@@ -433,20 +439,24 @@ class LocalMap:
         return self.integrate_local_ba(self.dispatch_local_ba(window=window))
 
     def run_global_ba(self, passes: int = 2) -> Optional[float]:
-        """Full-map bundle adjustment as overlapping windowed sweeps.
+        """Full-map bundle adjustment (role of the reference's
+        ``RunGlobalBundleAdjustment``, ``LoopClosing.cc:579,645`` /
+        ``Optimizer.cc:41``).
 
-        The role of the reference's ``RunGlobalBundleAdjustment``
-        (``LoopClosing.cc:579,645`` / ``Optimizer.cc:41``), re-shaped for the
-        padded dense-Schur device solver: windows of ``ba_max_keyframes``
-        slide over the whole keyframe backbone with 50% overlap, each window
-        anchored at its first keyframe (already refined by the previous
-        window), so corrections propagate end to end; ``passes`` sweeps
-        tighten the seams.
+        Maps up to ``gba_max_keyframes`` solve JOINTLY via the matrix-free
+        PCG Schur solver (``gba.py``) — loop error distributes globally in
+        one solve, no window seams. Larger maps fall back to overlapping
+        windowed sweeps (``ba_max_keyframes``-sized windows, 50% overlap,
+        each anchored at its first keyframe, ``passes`` sweeps).
         """
         alive = [k for k in self.keyframes if not k.culled]
         W = self.cfg.ba_max_keyframes
         if len(alive) <= W:
             return self.run_local_ba()
+        if len(alive) <= self.cfg.gba_max_keyframes:
+            chi2 = self._run_joint_gba(alive)
+            if chi2 is not None:
+                return chi2
         step = max(W // 2, 1)
         starts = list(range(0, len(alive) - W + 1, step))
         if starts[-1] != len(alive) - W:
@@ -455,6 +465,56 @@ class LocalMap:
         for _ in range(passes):
             for s in starts:
                 chi2 = self.run_local_ba(window=alive[s:s + W]) or chi2
+        return chi2
+
+    def _run_joint_gba(self, alive: List["KeyFrame"]) -> Optional[float]:
+        """One joint solve over ``alive``. Capacities are bucketed to powers
+        of two (keyframes/points/observations) so a growing map reuses a
+        bounded set of compiled executables."""
+        from sindslam_tpu.slam.ba import unpack_ba_result
+        from sindslam_tpu.slam.gba import joint_global_ba
+
+        cfg = self.cfg
+
+        def bucket(n, lo, hi):
+            b = lo
+            while b < n:
+                b *= 2
+            return min(b, hi)
+
+        cap_kf = bucket(len(alive), 16, cfg.gba_max_keyframes)
+        # size point/observation buckets from the live map (cheap host scan)
+        ids_all = np.stack([kf.point_ids for kf in alive])
+        pid = ids_all[ids_all >= 0]
+        pid = pid[self.valid[pid]]
+        n_pts = len(np.unique(pid))
+        if n_pts > cfg.gba_max_points or len(pid) > cfg.gba_max_obs:
+            # NEVER truncate the joint problem: the first-seen point cap
+            # would drop exactly the newest keyframes' fresh points,
+            # disconnecting the chain tail — it then floats at its drifted
+            # pose with zero residual (measured: 120-KF loop, 12 cm stuck
+            # error). Too-big maps go to the windowed sweeps instead.
+            return None
+        cap_pts = bucket(n_pts, 1024, cfg.gba_max_points)
+        cap_obs = bucket(len(pid), 4096, cfg.gba_max_obs)
+        built = self.build_ba_window(window=alive, cap_kf=cap_kf,
+                                     cap_pts=cap_pts, cap_obs=cap_obs)
+        if built is None:
+            return None
+        problem, window, lut = built
+        res = joint_global_ba(problem, self.cam, cfg,
+                              n_iters=cfg.gba_iterations,
+                              n_cg=cfg.gba_cg_iters)
+        poses, pts, chi2 = unpack_ba_result(
+            np.asarray(res.packed), problem.poses.shape[0],
+            problem.points.shape[0])
+        for s, kf in enumerate(window):
+            if s == 0:
+                continue
+            kf.Tcw = poses[s]
+        n_used = int((lut >= 0).sum())
+        self.pos[lut[:n_used]] = pts[:n_used]
+        self.bump_version()
         return chi2
 
     # ----------------------------------------------------------- queries

@@ -148,6 +148,26 @@ def test_ba_low_parallax_far_point_does_not_destabilize():
         assert np.linalg.norm(e) < 0.02, (k, np.linalg.norm(e))
 
 
+def test_joint_gba_matches_dense_schur_on_small_problem():
+    """The matrix-free PCG joint solver (gba.py) and the dense-Schur local
+    solver optimize the same objective; on a problem small enough for both,
+    their solutions must agree (PCG machinery parity check)."""
+    from sindslam_tpu.slam.gba import joint_global_ba
+
+    rng = np.random.default_rng(0)
+    problem, gt_poses, _gt_pts, _n = _make_problem(rng)
+    res_l = local_bundle_adjustment(problem, CAM, CFG)
+    res_j = joint_global_ba(problem, CAM, CFG, n_iters=10, n_cg=40)
+    assert np.isfinite(np.asarray(res_j.packed)).all()
+    for k in range(1, len(gt_poses)):
+        d = np.asarray(se3.se3_log(jnp.asarray(
+            (np.asarray(res_j.poses)[k]
+             @ np.linalg.inv(np.asarray(res_l.poses)[k]))[None]
+            .astype(np.float32))))[0]
+        assert np.linalg.norm(d) < 1e-4, (k, np.linalg.norm(d))
+    assert abs(float(res_j.mean_chi2) - float(res_l.mean_chi2)) < 0.01
+
+
 def test_global_ba_windowed_sweep_refines_whole_map():
     """run_global_ba (role of Optimizer.cc:41 GlobalBundleAdjustemnt):
     overlapping windows refine a map LONGER than one BA window end-to-end."""
