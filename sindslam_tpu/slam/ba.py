@@ -177,12 +177,12 @@ def _robust_cost(chi2, z_ok, active, delta):
             + 1e4 * jnp.sum(bad.astype(jnp.float32)))
 
 
-def _gn_iteration(problem: BAProblem, cam, cfg: TrackingConfig, inv_sigma2,
-                  active, use_huber, lam):
-    K = problem.poses.shape[0]
-    P = problem.points.shape[0]
-    kf1h = (problem.obs_kf[:, None] == jnp.arange(K)[None, :]
-            ).astype(jnp.float32)
+def _perobs_blocks(problem: BAProblem, cam, cfg: TrackingConfig, inv_sigma2,
+                   active, use_huber, kf1h):
+    """Per-observation normal-equation blocks (Hcc_o, Hpp_o, Hcp_o, bc_o,
+    bp_o) with Huber robust weights applied — shared by the local
+    dense-Schur solver here and the joint matrix-free PCG global solver
+    (``gba.py``)."""
     r, row_valid, chi2, Jc, Jp = _residuals_jac(problem, cam, inv_sigma2,
                                                 kf1h)
 
@@ -197,12 +197,22 @@ def _gn_iteration(problem: BAProblem, cam, cfg: TrackingConfig, inv_sigma2,
     Jp_m = Jp * rv[..., None]
     r_m = r * rv
 
-    # per-observation blocks
     Hcc_o = jnp.einsum("mri,mrj,m->mij", Jc_m, Jc_m, w, precision=_HI)  # (M,6,6)
     Hpp_o = jnp.einsum("mri,mrj,m->mij", Jp_m, Jp_m, w, precision=_HI)  # (M,3,3)
     Hcp_o = jnp.einsum("mri,mrj,m->mij", Jc_m, Jp_m, w, precision=_HI)  # (M,6,3)
     bc_o = jnp.einsum("mri,mr,m->mi", Jc_m, r_m, w, precision=_HI)      # (M,6)
     bp_o = jnp.einsum("mri,mr,m->mi", Jp_m, r_m, w, precision=_HI)      # (M,3)
+    return Hcc_o, Hpp_o, Hcp_o, bc_o, bp_o, chi2
+
+
+def _gn_iteration(problem: BAProblem, cam, cfg: TrackingConfig, inv_sigma2,
+                  active, use_huber, lam):
+    K = problem.poses.shape[0]
+    P = problem.points.shape[0]
+    kf1h = (problem.obs_kf[:, None] == jnp.arange(K)[None, :]
+            ).astype(jnp.float32)
+    Hcc_o, Hpp_o, Hcp_o, bc_o, bp_o, chi2 = _perobs_blocks(
+        problem, cam, cfg, inv_sigma2, active, use_huber, kf1h)
 
     # scatter to per-pose blocks via a small one-hot matmul; per-point and
     # per-(point, pose) blocks via segment sums over M (16k) rows — a one-hot
