@@ -16,7 +16,7 @@ formulation built for the MXU:
   optimize (5 + 10 iterations with outlier removal in between);
 - Marquardt-scaled damping with monotone accept/reject (the role of g2o's
   ``OptimizationAlgorithmLevenberg``): each candidate step is evaluated on
-  the robust total cost and REJECTED (lambda x8) if it increases it. Plain
+  the robust total cost and REJECTED (lambda x10) if it increases it. Plain
   GN with fixed absolute damping diverges here: a near-zero-parallax far
   point leaves Hpp nearly singular along the ray, the 1e-4-damped solve
   takes ~1e4 m point steps, and the Schur coupling drags keyframe poses
@@ -98,10 +98,13 @@ def _inv3x3(A: jnp.ndarray) -> jnp.ndarray:
     return adj * inv_det[..., None, None]
 
 
-def _residuals_jac(problem: BAProblem, cam: CameraConfig, inv_sigma2,
-                   kf1h: jnp.ndarray):
-    """Per-observation residual r (M, 3), row validity, chi2, and Jacobians
-    J_pose (M, 3, 6), J_point (M, 3, 3)."""
+def _project_residuals(problem: BAProblem, cam: CameraConfig,
+                       kf1h: jnp.ndarray):
+    """Shared projection model: per-observation residual r (M, 3), row
+    validity, plus the intermediates the Jacobian needs. ONE definition —
+    the LM acceptance cost (``_chi2_eval``) and the normal equations
+    (``_residuals_jac``) must always evaluate the same objective, or a
+    step that lowers the real cost can be rejected against a stale one."""
     # pose lookup via the K-one-hot matmul (K is tiny): poses[obs_kf] is an
     # M x 16-element scalar-unit gather per GN iteration otherwise
     T = jnp.einsum("mk,kab->mab", kf1h, problem.poses,
@@ -110,18 +113,27 @@ def _residuals_jac(problem: BAProblem, cam: CameraConfig, inv_sigma2,
     R = T[:, :3, :3]
     t = T[:, :3, 3]
     pc = jnp.einsum("mij,mj->mi", R, pw, precision=_HI) + t
-    X, Y, Z = pc[:, 0], pc[:, 1], pc[:, 2]
-    z_ok = Z > 1e-3
-    Zs = jnp.where(z_ok, Z, 1.0)
-    iz = 1.0 / Zs
-    iz2 = iz * iz
+    z_ok = pc[:, 2] > 1e-3
+    iz = 1.0 / jnp.where(z_ok, pc[:, 2], 1.0)
 
-    u = cam.fx * X * iz + cam.cx
-    v = cam.fy * Y * iz + cam.cy
+    u = cam.fx * pc[:, 0] * iz + cam.cx
+    v = cam.fy * pc[:, 1] * iz + cam.cy
     ur = u - cam.bf * iz
     has_stereo = problem.obs_ur >= 0
     r = jnp.stack([u - problem.obs_uv[:, 0], v - problem.obs_uv[:, 1],
                    jnp.where(has_stereo, ur - problem.obs_ur, 0.0)], axis=-1)
+    row_valid = jnp.stack([z_ok, z_ok, z_ok & has_stereo], -1) & \
+        problem.obs_valid[:, None]
+    return r, row_valid, z_ok, pc, R, iz
+
+
+def _residuals_jac(problem: BAProblem, cam: CameraConfig, inv_sigma2,
+                   kf1h: jnp.ndarray):
+    """Per-observation residual r (M, 3), row validity, chi2, and Jacobians
+    J_pose (M, 3, 6), J_point (M, 3, 3)."""
+    r, row_valid, z_ok, pc, R, iz = _project_residuals(problem, cam, kf1h)
+    X, Y = pc[:, 0], pc[:, 1]
+    iz2 = iz * iz
 
     du = jnp.stack([cam.fx * iz, jnp.zeros_like(iz), -cam.fx * X * iz2], -1)
     dv = jnp.stack([jnp.zeros_like(iz), cam.fy * iz, -cam.fy * Y * iz2], -1)
@@ -133,34 +145,20 @@ def _residuals_jac(problem: BAProblem, cam: CameraConfig, inv_sigma2,
     J_pose = jnp.matmul(dproj, dpc_dxi, precision=_HI)        # (M, 3, 6)
     J_point = jnp.matmul(dproj, R, precision=_HI)             # (M, 3, 3)
 
-    row_valid = jnp.stack([z_ok, z_ok, z_ok & has_stereo], -1) & \
-        problem.obs_valid[:, None]
     chi2 = jnp.sum(jnp.where(row_valid, r * r, 0.0), -1) * inv_sigma2
     return r, row_valid, chi2, J_pose, J_point
 
 
 def _chi2_eval(problem: BAProblem, cam: CameraConfig, inv_sigma2):
-    """Residual-only chi2 per observation + a count of active rows the
-    current state puts behind the camera (those rows carry NO chi2, so the
-    LM acceptance test must penalize them explicitly or a step that pushes
-    points behind the camera reads as cost 0)."""
+    """Residual-only chi2 per observation + which rows the current state
+    puts behind the camera (those rows carry NO chi2, so the LM acceptance
+    test must penalize them explicitly or a step that pushes points behind
+    the camera reads as cost 0). Same projection model as the normal
+    equations (``_project_residuals``)."""
     K = problem.poses.shape[0]
     kf1h = (problem.obs_kf[:, None] == jnp.arange(K)[None, :]
             ).astype(jnp.float32)
-    T = jnp.einsum("mk,kab->mab", kf1h, problem.poses, precision=_HI)
-    pw = problem.points[problem.obs_pt]
-    pc = jnp.einsum("mij,mj->mi", T[:, :3, :3], pw, precision=_HI) + T[:, :3, 3]
-    X, Y, Z = pc[:, 0], pc[:, 1], pc[:, 2]
-    z_ok = Z > 1e-3
-    iz = 1.0 / jnp.where(z_ok, Z, 1.0)
-    u = cam.fx * X * iz + cam.cx
-    v = cam.fy * Y * iz + cam.cy
-    ur = u - cam.bf * iz
-    has_stereo = problem.obs_ur >= 0
-    r = jnp.stack([u - problem.obs_uv[:, 0], v - problem.obs_uv[:, 1],
-                   jnp.where(has_stereo, ur - problem.obs_ur, 0.0)], axis=-1)
-    row_valid = jnp.stack([z_ok, z_ok, z_ok & has_stereo], -1) & \
-        problem.obs_valid[:, None]
+    r, row_valid, z_ok, _pc, _R, _iz = _project_residuals(problem, cam, kf1h)
     chi2 = jnp.sum(jnp.where(row_valid, r * r, 0.0), -1) * inv_sigma2
     return chi2, z_ok
 

@@ -47,6 +47,26 @@ from sindslam_tpu.slam.ba import (BAProblem, BAResult, _chi2_eval, _inv3x3,
 _HI = jax.lax.Precision.HIGHEST
 
 
+def _inv6x6_spd(M: jnp.ndarray) -> jnp.ndarray:
+    """Batched 6x6 SPD inverse by 2x2-of-3x3 block Schur, built on the
+    closed-form ``_inv3x3`` — ``jnp.linalg.inv`` on a (K,6,6) batch lowers
+    to a LAPACK-style custom call on this TPU runtime (see the ``_inv3x3``
+    docstring); the blockwise form is pure element-wise/matmul work."""
+    A = M[..., :3, :3]
+    B = M[..., :3, 3:]
+    D = M[..., 3:, 3:]
+    Ai = _inv3x3(A)
+    AiB = jnp.matmul(Ai, B, precision=_HI)                    # (K,3,3)
+    S = D - jnp.matmul(jnp.swapaxes(B, -1, -2), AiB, precision=_HI)
+    Si = _inv3x3(S)
+    TR = -jnp.matmul(AiB, Si, precision=_HI)
+    TL = Ai - jnp.matmul(TR, jnp.swapaxes(AiB, -1, -2), precision=_HI)
+    BL = jnp.swapaxes(TR, -1, -2)
+    top = jnp.concatenate([TL, TR], axis=-1)
+    bot = jnp.concatenate([BL, Si], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
 def _lm_step(problem: BAProblem, cam, cfg: TrackingConfig, inv_sigma2,
              active, use_huber, lam, kf1h, n_cg: int):
     """One LM candidate step: build blocks, PCG-solve the reduced camera
@@ -58,9 +78,12 @@ def _lm_step(problem: BAProblem, cam, cfg: TrackingConfig, inv_sigma2,
     Hcc_o, Hpp_o, Hcp_o, bc_o, bp_o, _ = _perobs_blocks(
         problem, cam, cfg, inv_sigma2, active, use_huber, kf1h)
 
-    Hcc = jax.ops.segment_sum(Hcc_o.reshape(-1, 36), obs_kf,
-                              num_segments=K).reshape(K, 6, 6)
-    bc = jax.ops.segment_sum(bc_o, obs_kf, num_segments=K)
+    # keyframe-axis reductions ride the MXU as one-hot matmuls (CLAUDE.md:
+    # segment_sum serializes on the TPU scalar unit for small bin counts);
+    # point-axis reductions stay segment_sums over the element axis (P is
+    # large, a one-hot would be M x P)
+    Hcc = jnp.einsum("mk,mij->kij", kf1h, Hcc_o, precision=_HI)   # (K,6,6)
+    bc = jnp.einsum("mk,mi->ki", kf1h, bc_o, precision=_HI)       # (K,6)
     Hpp = jax.ops.segment_sum(Hpp_o.reshape(-1, 9), obs_pt,
                               num_segments=P).reshape(P, 3, 3)
     bp = jax.ops.segment_sum(bp_o, obs_pt, num_segments=P)
@@ -78,8 +101,10 @@ def _lm_step(problem: BAProblem, cam, cfg: TrackingConfig, inv_sigma2,
     freeK = free[:, None].astype(jnp.float32)                     # (K,1)
 
     def Wt_apply(xc):
-        """W^T x: (K,6) -> (P,3) via one pass over observations."""
-        x_m = xc[obs_kf]                                          # (M,6)
+        """W^T x: (K,6) -> (P,3) via one pass over observations. The
+        per-observation pose lookup is a kf1h matmul, not an (M,6) gather
+        — this runs n_cg x n_iters times per solve."""
+        x_m = jnp.einsum("mk,ki->mi", kf1h, xc, precision=_HI)    # (M,6)
         t = jnp.einsum("mij,mi->mj", Hcp_o, x_m, precision=_HI)   # (M,3)
         return jax.ops.segment_sum(t, obs_pt, num_segments=P)
 
@@ -87,7 +112,7 @@ def _lm_step(problem: BAProblem, cam, cfg: TrackingConfig, inv_sigma2,
         """W v: (P,3) -> (K,6) via one pass over observations."""
         v_m = vp[obs_pt]                                          # (M,3)
         z = jnp.einsum("mij,mj->mi", Hcp_o, v_m, precision=_HI)   # (M,6)
-        return jax.ops.segment_sum(z, obs_kf, num_segments=K)
+        return jnp.einsum("mk,mi->ki", kf1h, z, precision=_HI)
 
     def S_apply(xc):
         """S x = (Hcc_d - W Hpp_d^-1 W^T) x, fixed poses clamped to 0."""
@@ -108,10 +133,10 @@ def _lm_step(problem: BAProblem, cam, cfg: TrackingConfig, inv_sigma2,
     Hpi_m = Hpp_inv[obs_pt]                                       # (M,3,3)
     t1 = jnp.einsum("mij,mjl->mil", Hcp_o, Hpi_m, precision=_HI)  # (M,6,3)
     term = jnp.einsum("mil,mkl->mik", t1, Hcp_o, precision=_HI)   # (M,6,6)
-    Sdiag = Hcc_d - jax.ops.segment_sum(
-        term.reshape(-1, 36), obs_kf, num_segments=K).reshape(K, 6, 6)
+    Sdiag = Hcc_d - jnp.einsum("mk,mij->kij", kf1h, term,
+                               precision=_HI)
     Sdiag = jnp.where(free[:, None, None], Sdiag, eye6) + 1e-6 * eye6
-    Minv = jnp.linalg.inv(Sdiag)                                  # (K,6,6)
+    Minv = _inv6x6_spd(Sdiag)                                     # (K,6,6)
 
     def prec(rr):
         return jnp.einsum("kij,kj->ki", Minv, rr, precision=_HI) * freeK

@@ -451,12 +451,17 @@ class LocalMap:
         """
         alive = [k for k in self.keyframes if not k.culled]
         W = self.cfg.ba_max_keyframes
-        if len(alive) <= W:
-            return self.run_local_ba()
+        # the joint no-trim solver covers EVERY map that fits its caps,
+        # including ones smaller than the local window: the local solver's
+        # mid-solve chi2 trim drops the largest-residual observations, and
+        # right after a loop closure those are exactly the loop
+        # co-observations the global solve exists to enforce (see gba.py)
         if len(alive) <= self.cfg.gba_max_keyframes:
             chi2 = self._run_joint_gba(alive)
             if chi2 is not None:
                 return chi2
+        if len(alive) <= W:
+            return self.run_local_ba()
         step = max(W // 2, 1)
         starts = list(range(0, len(alive) - W + 1, step))
         if starts[-1] != len(alive) - W:
