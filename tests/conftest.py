@@ -55,6 +55,21 @@ assert jax.default_backend() == "cpu", (
 )
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _bound_llvm_jit_state():
+    """Drop jax's in-process executable caches after every test module.
+
+    A full single-process suite run deterministically segfaults (SIGSEGV in
+    an XLA:CPU LLVM compile, ~test #90, tests/test_homography_mask.py) once
+    enough compiled executables are resident — the accumulated JIT code
+    eventually lands a compile outside the small code model's reach. Each
+    module's tests share compiles; across modules the persistent disk cache
+    (above) makes the post-clear reloads cheap, so bounding live LLVM state
+    at module granularity costs seconds and removes the crash."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def synthetic_frames():
     """A short deterministic synthetic RGB-D sequence shared across tests."""
