@@ -56,12 +56,28 @@ def _edge_terms(Ti, Tj, T_meas):
 @functools.partial(jax.jit, static_argnames=("n_iters",))
 def optimize_pose_graph(graph: PoseGraph, n_iters: int = 20,
                         damping: float = 1e-5) -> jnp.ndarray:
-    """Returns optimized (K, 4, 4) poses."""
+    """Returns optimized (K, 4, 4) poses.
+
+    Levenberg loop (the reference's ``OptimizeEssentialGraph`` runs g2o's
+    ``OptimizationAlgorithmLevenberg``, ``Optimizer.cc:822``): each GN
+    candidate step is accepted only if it lowers the total weighted edge
+    cost; a rejected step re-tries with 10x the damping. Same monotone
+    scheme as ``ba.py`` — fixed-damping GN diverged there on a
+    near-singular Hessian, and a post-loop pose graph starts far from the
+    linearization point (the loop edge's residual is the whole accumulated
+    drift)."""
     K = graph.poses.shape[0]
 
     terms_fn = jax.vmap(_edge_terms)
 
-    def gn_step(poses, _):
+    def total_cost(poses):
+        Ti = poses[graph.edge_i]
+        Tj = poses[graph.edge_j]
+        r, _Ji, _Jj = terms_fn(Ti, Tj, graph.edge_T)
+        return jnp.sum(graph.edge_w * jnp.sum(r * r, axis=-1))
+
+    def gn_step(carry, _):
+        poses, lam, cost = carry
         Ti = poses[graph.edge_i]
         Tj = poses[graph.edge_j]
         r, Ji, Jj = terms_fn(Ti, Tj, graph.edge_T)            # (E,6),(E,6,6)x2
@@ -95,13 +111,22 @@ def optimize_pose_graph(graph: PoseGraph, n_iters: int = 20,
 
         free6 = jnp.repeat(~graph.fixed, 6)
         H = jnp.where(free6[:, None] & free6[None, :], H, 0.0)
-        H = H + jnp.diag(jnp.where(free6, damping, 1.0))
+        dH = jnp.diagonal(H)
+        H = H + jnp.diag(jnp.where(free6, lam * dH + damping, 1.0))
         b = jnp.where(free6, b, 0.0)
         dx = -jnp.linalg.solve(H, b).reshape(K, 6)
         dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
         new_poses = se3.se3_exp(dx) @ poses
         new_poses = jnp.where(graph.fixed[:, None, None], poses, new_poses)
-        return new_poses, None
 
-    poses, _ = jax.lax.scan(gn_step, graph.poses, None, length=n_iters)
+        cost_n = total_cost(new_poses)
+        ok = cost_n < cost
+        poses = jnp.where(ok, new_poses, poses)
+        lam = jnp.clip(jnp.where(ok, lam * (1.0 / 3.0), lam * 10.0),
+                       1e-8, 1e6)
+        cost = jnp.where(ok, cost_n, cost)
+        return (poses, lam, cost), None
+
+    carry0 = (graph.poses, jnp.float32(1e-5), total_cost(graph.poses))
+    (poses, _, _), _ = jax.lax.scan(gn_step, carry0, None, length=n_iters)
     return poses
