@@ -384,14 +384,29 @@ def fast_nms_pallas(img: jnp.ndarray, min_th: float, ini_th: float,
     return out[:h, :w]
 
 
-def _make_patch_kernel(group: int, patch: int):
+def _make_patch_kernel(group: int, patch: int, nrows: int, ncols: int):
+    """Mosaic only proves in-bounds vector loads when the dynamic start of
+    the sublane dim is a multiple of 8 (and the lane dim of 128) — an
+    arbitrary ``img_ref[pl.ds(y0, patch), pl.ds(x0, patch)]`` fails to
+    compile on real TPU ("cannot statically prove that index in dimension 0
+    is a multiple of 8"; interpret mode accepts it, which is why CPU parity
+    tests alone missed this). So: load an ALIGNED (nrows, ncols) superset
+    block and rotate the residue away in registers (tpu.dynamic_rotate)."""
+
     def kernel(yx_ref, img_ref, out_ref):
         i = pl.program_id(0)
 
         def body(k, carry):
             y0 = yx_ref[i * group + k, 0]
             x0 = yx_ref[i * group + k, 1]
-            out_ref[k] = img_ref[pl.ds(y0, patch), pl.ds(x0, patch)]
+            ya = pl.multiple_of((y0 // 8) * 8, 8)
+            xa = pl.multiple_of((x0 // 128) * 128, 128)
+            blk = img_ref[pl.ds(ya, nrows), pl.ds(xa, ncols)]
+            # bring (y0-ya, x0-xa) to the block origin: roll is cyclic with
+            # a non-negative dynamic amount, so shift by size - residue
+            blk = pltpu.roll(blk, (nrows - (y0 - ya)) % nrows, 0)
+            blk = pltpu.roll(blk, (ncols - (x0 - xa)) % ncols, 1)
+            out_ref[k] = blk[:patch, :patch]
             return carry
 
         lax.fori_loop(0, group, body, 0)
@@ -411,7 +426,8 @@ def extract_patches_pallas(img: jnp.ndarray, y0: jnp.ndarray,
     comparisons + HBM traffic, ~1.9 ms at N=1500 on the 2434x640 ORB atlas,
     r3 trace fusion.1118) and rounds the image through bf16; here the atlas
     stays VMEM-resident across the whole grid and each window is one
-    unaligned-but-VMEM dynamic slice — exact f32, no HBM in the loop.
+    ALIGNED dynamic slice + two register rotates (see _make_patch_kernel) —
+    exact f32, no HBM in the loop.
 
     Callers must pre-clip y0/x0 to [0, dim - patch]; N must be a multiple
     of ``group`` (the wrapper in frontend/orb.py pads).
@@ -419,7 +435,14 @@ def extract_patches_pallas(img: jnp.ndarray, y0: jnp.ndarray,
     n = y0.shape[0]
     assert n % group == 0, (n, group)
     h, w = img.shape
-    hp, wp = _round_up(h, 8), _round_up(w, 128)
+    # the kernel loads ALIGNED (nrows, ncols) superset blocks: row starts
+    # round down to a multiple of 8 (residue < 8) and column starts to a
+    # multiple of 128 (residue < 128); pad so the largest aligned block
+    # stays in bounds (y0 <= h - patch, x0 <= w - patch by the caller)
+    nrows = _round_up(patch, 8) + 8
+    ncols = _round_up(patch, 128) + 128
+    hp = _round_up(h - patch + nrows, 8)
+    wp = _round_up(w - patch + ncols, 128)
     imgp = jnp.pad(img, ((0, hp - h), (0, wp - w)))
     yx = jnp.stack([y0, x0], axis=-1).astype(jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -430,7 +453,7 @@ def extract_patches_pallas(img: jnp.ndarray, y0: jnp.ndarray,
                                lambda i, s_ref: (i, 0, 0)),
     )
     out = pl.pallas_call(
-        _make_patch_kernel(group, patch),
+        _make_patch_kernel(group, patch, nrows, ncols),
         out_shape=jax.ShapeDtypeStruct((n, patch, patch), img.dtype),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
