@@ -196,6 +196,102 @@ def generate_sequence(n_frames: int = 12, seed: int = 0, with_dynamic: bool = Tr
         yield rgb, depth, dyn, poses[i], i / 30.0
 
 
+def make_orbit_room_scene(seed: int = 0, with_dynamic: bool = False
+                          ) -> SyntheticScene:
+    """A CLOSED room (4 walls + floor + ceiling) with ~12 distinct textured
+    panels around the perimeter: every viewing direction from the room
+    center sees distinct texture, so a full camera orbit revisits
+    recognizable places (the loop-closure benchmark world — the synthetic
+    stand-in for a TUM room sequence with revisit)."""
+    rng = np.random.default_rng(seed)
+    sc = SyntheticScene()
+
+    def rect(o, eu, ev, dynamic=False, color=None):
+        sc.rects.append(TexturedRect(
+            np.array(o, float), np.array(eu, float), np.array(ev, float),
+            _noise_texture(rng, base_color=None if color is None
+                           else np.array(color)),
+            dynamic=dynamic))
+
+    # room shell: x in [-4, 4], z in [-3, 5.5], y in [-3 (ceiling), 1.6 (floor)]
+    rect([-4, -3, 5.5], [8, 0, 0], [0, 4.6, 0])                    # wall z=5.5
+    rect([-4, -3, -3.0], [8, 0, 0], [0, 4.6, 0])                   # wall z=-3
+    rect([-4, -3, -3.0], [0, 0, 8.5], [0, 4.6, 0])                 # wall x=-4
+    rect([4, -3, -3.0], [0, 0, 8.5], [0, 4.6, 0])                  # wall x=4
+    rect([-4, 1.6, -3.0], [8, 0, 0], [0, 0, 8.5])                  # floor
+    rect([-4, -3, -3.0], [8, 0, 0], [0, 0, 8.5])                   # ceiling
+
+    # distinct panels around the perimeter, facing the room center: each is
+    # a "place" with its own texture/color at a distinct heading
+    center = np.array([0.0, 0.0, 1.25])
+    n_panels = 12
+    for i in range(n_panels):
+        a = 2 * np.pi * i / n_panels + 0.13
+        radial = np.array([np.cos(a), 0.0, np.sin(a)])
+        tangent = np.array([-np.sin(a), 0.0, np.cos(a)])
+        r = 2.6 + 0.5 * ((i * 7919) % 5) / 5.0
+        pos = center + r * radial
+        pos = np.clip(pos, [-3.9, -2.9, -2.9], [3.9, 1.5, 5.4])
+        w = 1.0 + 0.3 * ((i * 104729) % 3)
+        h = 1.1 + 0.25 * ((i * 1299709) % 3)
+        eu = tangent * w
+        ev = np.array([0.0, h, 0.0])
+        color = np.array([0.35 + 0.6 * ((i * 3) % 5) / 5.0,
+                          0.35 + 0.6 * ((i * 5 + 1) % 5) / 5.0,
+                          0.35 + 0.6 * ((i * 7 + 2) % 5) / 5.0])
+        rect(pos - 0.5 * eu - 0.5 * ev + 0.35 * ((i % 3) - 1) * np.array(
+            [0.0, 1.0, 0.0]), eu, ev, color=color)
+    if with_dynamic:
+        rect([-0.4, -0.8, 2.6], [0.7, 0, 0], [0, 0.7, 0],
+             dynamic=True, color=[0.95, 0.4, 0.3])
+    return sc
+
+
+def make_orbit_trajectory(n_frames: int, radius: float = 1.0,
+                          orbits: float = 1.0, seed: int = 0) -> np.ndarray:
+    """Camera orbits the room center looking OUTWARD, returning to its start
+    after ``orbits`` revolutions: the closing loop for the loop-closure
+    benchmark (role of a TUM revisit sequence). Small vertical bob and
+    radial wobble keep consecutive-frame baselines realistic."""
+    poses = np.zeros((n_frames, 4, 4))
+    center = np.array([0.0, 0.0, 1.25])
+    down = np.array([0.0, 1.0, 0.0])
+    for i in range(n_frames):
+        s = i / max(n_frames - 1, 1)
+        a = 2 * np.pi * orbits * s
+        r = radius * (1.0 + 0.04 * np.sin(3.1 * a))
+        pos = center + r * np.array([np.cos(a), 0.0, np.sin(a)])
+        pos[1] += 0.05 * np.sin(2.3 * a)
+        forward = np.array([np.cos(a), 0.0, np.sin(a)])
+        right = np.cross(down, forward)
+        right /= np.linalg.norm(right)
+        fwd = forward / np.linalg.norm(forward)
+        R = np.stack([right, down, fwd], axis=1)
+        poses[i, :3, :3] = R
+        poses[i, :3, 3] = pos
+        poses[i, 3, 3] = 1.0
+    return poses
+
+
+def make_orbit_sequence(n_frames: int = 240, seed: int = 0,
+                        scale: float = 1.0, orbits: float = 1.0,
+                        with_dynamic: bool = False):
+    """The loop-closure benchmark sequence: ``n_frames`` frames of a full
+    room orbit (start and end poses coincide up to the wobble terms).
+    Returns (frames, scene) like :func:`make_benchmark_sequence`."""
+    scene = make_orbit_room_scene(seed, with_dynamic)
+    if scale != 1.0:
+        scene = _scale_scene(scene, scale)
+    poses = make_orbit_trajectory(n_frames, orbits=orbits, seed=seed)
+    offs = dynamic_offsets(n_frames, speed=0.02) if with_dynamic else None
+    frames = []
+    for i in range(n_frames):
+        rgb, depth, dyn = scene.render(poses[i],
+                                       offs[i] if offs is not None else None)
+        frames.append((rgb, depth, dyn, poses[i], i / 30.0))
+    return frames, scene
+
+
 # --------------------------------------------------------------------------
 # Named benchmark sequences — the accuracy regression suite (the stand-in for
 # the reference's TUM fr3_walking_* evaluation protocol,

@@ -384,7 +384,8 @@ def fast_nms_pallas(img: jnp.ndarray, min_th: float, ini_th: float,
     return out[:h, :w]
 
 
-def _make_patch_kernel(group: int, patch: int, nrows: int, ncols: int):
+def _make_patch_kernel(group: int, patch: int, nrows: int, ncols: int,
+                       hp: int, wp: int):
     """Mosaic only proves in-bounds vector loads when the dynamic start of
     the sublane dim is a multiple of 8 (and the lane dim of 128) — an
     arbitrary ``img_ref[pl.ds(y0, patch), pl.ds(x0, patch)]`` fails to
@@ -399,8 +400,14 @@ def _make_patch_kernel(group: int, patch: int, nrows: int, ncols: int):
         def body(k, carry):
             y0 = yx_ref[i * group + k, 0]
             x0 = yx_ref[i * group + k, 1]
-            ya = pl.multiple_of((y0 // 8) * 8, 8)
-            xa = pl.multiple_of((x0 // 128) * 128, 128)
+            # clamp the aligned superset start in-kernel: an out-of-contract
+            # y0/x0 (caller must pre-clip to [0, dim - patch]) would
+            # otherwise read past the padded image instead of merely
+            # returning a shifted window. hp/wp are multiples of 8/128, so
+            # the clamped start keeps its alignment.
+            ya = pl.multiple_of(jnp.minimum((y0 // 8) * 8, hp - nrows), 8)
+            xa = pl.multiple_of(jnp.minimum((x0 // 128) * 128, wp - ncols),
+                                128)
             blk = img_ref[pl.ds(ya, nrows), pl.ds(xa, ncols)]
             # bring (y0-ya, x0-xa) to the block origin: roll is cyclic with
             # a non-negative dynamic amount, so shift by size - residue
@@ -453,7 +460,7 @@ def extract_patches_pallas(img: jnp.ndarray, y0: jnp.ndarray,
                                lambda i, s_ref: (i, 0, 0)),
     )
     out = pl.pallas_call(
-        _make_patch_kernel(group, patch, nrows, ncols),
+        _make_patch_kernel(group, patch, nrows, ncols, hp, wp),
         out_shape=jax.ShapeDtypeStruct((n, patch, patch), img.dtype),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(

@@ -34,37 +34,60 @@ def _hamming(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(lax.population_count(x), axis=-1).astype(jnp.int32)
 
 
-def _majority_center(descs: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
-    """Bitwise weighted majority vote of (N, 8) uint32 descriptors -> (8,)."""
-    shifts = jnp.arange(32, dtype=jnp.uint32)
-    bits = (descs[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1)  # (N,8,32)
-    votes = jnp.sum(bits.astype(jnp.float32) * weights[:, None, None], axis=0)
-    total = jnp.sum(weights) + 1e-9
-    maj = (votes > 0.5 * total).astype(jnp.uint32)
-    return jnp.sum(maj << shifts[None, :], axis=-1, dtype=jnp.uint32)
-
-
 @functools.partial(jax.jit, static_argnames=("k", "iters"))
-def kmedians_binary(descs: jnp.ndarray, valid: jnp.ndarray, key: jax.Array,
+def _kmedians_batch(descs: jnp.ndarray, valid: jnp.ndarray, keys: jnp.ndarray,
                     k: int, iters: int = 6) -> jnp.ndarray:
-    """Binary k-medians: (N, 8) descriptors -> (k, 8) centers."""
-    n = descs.shape[0]
-    perm = jax.random.permutation(key, n)
-    centers = descs[perm[:k]]
+    """Batched binary k-medians: (P, C, 8) padded per-parent descriptor sets
+    -> (P, k, 8) centers, all P problems solved by one vmapped kernel.
 
-    def step(centers, _):
-        d = _hamming(descs, centers)
-        d = jnp.where(valid[:, None], d, 1 << 20)
-        lab = jnp.argmin(d, axis=-1)
-        new = []
-        for c in range(k):
-            w = ((lab == c) & valid).astype(jnp.float32)
-            maj = _majority_center(descs, w)
-            new.append(jnp.where(jnp.sum(w) > 0.5, maj, centers[c]))
-        return jnp.stack(new), None
+    The Lloyd update is a matmul (membership one-hot (C, k) x bit expansion
+    (C, 256) -> per-center bit votes), so a whole vocabulary level trains as
+    a few large MXU contractions instead of the reference's recursive
+    per-node std::vector clustering (``Thirdparty/DBoW2/DBoW2/
+    TemplatedVocabulary.h`` HKmeansStep)."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)
 
-    centers, _ = lax.scan(step, centers, None, length=iters)
-    return centers
+    def one(d, v, key):
+        c_cap = d.shape[0]
+        # seed from k random VALID slots (gumbel-top-k over validity):
+        # seeding from the padded zeros collapses every center of a
+        # sparsely-populated parent onto 0 and the whole level degenerates
+        g = jax.random.gumbel(key, (c_cap,)) + jnp.where(v, 0.0, -1e9)
+        _, seed_idx = lax.top_k(g, k)
+        centers = d[seed_idx]
+        bits = ((d[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1)
+                ).astype(jnp.float32).reshape(c_cap, 256)
+        wv = v.astype(jnp.float32)
+
+        def step(centers, _):
+            dist = _hamming(d, centers)
+            dist = jnp.where(v[:, None], dist, 1 << 20)
+            lab = jnp.argmin(dist, axis=-1)
+            onehot = (lab[:, None] == jnp.arange(k)[None]).astype(jnp.float32) \
+                * wv[:, None]                                   # (C, k)
+            votes = jnp.einsum("ck,cb->kb", onehot, bits)       # (k, 256)
+            total = jnp.sum(onehot, axis=0)                     # (k,)
+            maj = (votes > 0.5 * total[:, None]).astype(jnp.uint32) \
+                .reshape(k, 8, 32)
+            new = jnp.sum(maj << shifts[None, None, :], axis=-1,
+                          dtype=jnp.uint32)
+            return jnp.where((total > 0.5)[:, None], new, centers), None
+
+        centers, _ = lax.scan(step, centers, None, length=iters)
+        return centers
+
+    return jax.vmap(one)(descs, valid, keys)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _assign_children(descs: jnp.ndarray, centers: jnp.ndarray,
+                     parent: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Child index in [0, k) of each descriptor under its parent's centers.
+    descs (N, 8); centers (n_parents, k, 8); parent (N,) int32."""
+    cand = centers[parent]                                    # (N, k, 8)
+    x = jnp.bitwise_xor(descs[:, None, :], cand)
+    d = jnp.sum(lax.population_count(x), axis=-1)
+    return jnp.argmin(d, axis=-1).astype(jnp.int32)
 
 
 @dataclass
@@ -104,42 +127,70 @@ def _quantize_jit(descs: jnp.ndarray, nodes: Tuple[jnp.ndarray, ...], k: int
 
 
 def train_vocabulary(descs: np.ndarray, k: int = 8, levels: int = 3,
-                     seed: int = 0) -> Vocabulary:
-    """Hierarchical binary k-medians over a (N, 8) uint32 descriptor corpus."""
-    key = jax.random.PRNGKey(seed)
-    descs_j = jnp.asarray(descs)
-    n = len(descs)
+                     seed: int = 0, train_cap: int = 4096,
+                     chunk_budget: int = 1 << 17) -> Vocabulary:
+    """Hierarchical binary k-medians over a (N, 8) uint32 descriptor corpus.
 
-    # level 0: cluster everything into k groups
+    Each level clusters ALL parents at once with the vmapped batched
+    k-medians kernel (descriptors grouped per parent into one padded
+    (n_parents, cap, 8) tensor), then re-assigns the FULL corpus to child
+    nodes in one batched pass — so training a deep (10^4-10^6 word) tree
+    costs a handful of device dispatches per level, not one per node.
+    ``train_cap`` bounds the per-parent training subsample (assignment still
+    uses every descriptor); ``chunk_budget`` bounds padded descriptors per
+    dispatch so the (C, 256) bit expansion stays in memory."""
+    rng = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(seed)
+    descs = np.ascontiguousarray(descs, np.uint32)
+    n = len(descs)
+    descs_j = jnp.asarray(descs)
+
     nodes: List[np.ndarray] = []
     assignments = np.zeros(n, np.int64)   # parent node id per descriptor
     for level in range(levels):
         n_parents = k ** level
-        level_centers = np.zeros((n_parents * k, 8), np.uint32)
-        new_assign = np.zeros(n, np.int64)
-        for p in range(n_parents):
-            sel = assignments == p
-            key, sub = jax.random.split(key)
-            if sel.sum() >= k:
-                # pad to fixed shape for the jitted clusterer
-                idx = np.where(sel)[0]
-                cap = 1 << int(np.ceil(np.log2(max(len(idx), k))))
-                dpad = np.zeros((cap, 8), np.uint32)
-                vpad = np.zeros(cap, bool)
-                dpad[:len(idx)] = descs[idx]
-                vpad[:len(idx)] = True
-                centers = np.asarray(kmedians_binary(jnp.asarray(dpad),
-                                                     jnp.asarray(vpad), sub, k))
-                d = np.asarray(_hamming(jnp.asarray(descs[idx]),
-                                        jnp.asarray(centers)))
-                new_assign[idx] = p * k + d.argmin(axis=1)
-            else:
-                centers = np.tile(descs[0:1] if sel.sum() == 0
-                                  else descs[np.where(sel)[0][:1]], (k, 1))
-                new_assign[sel] = p * k
-            level_centers[p * k:(p + 1) * k] = centers
-        nodes.append(level_centers)
-        assignments = new_assign
+        counts = np.bincount(assignments, minlength=n_parents)
+        # shuffled stable sort: members of each parent are contiguous and in
+        # random order, so truncation at ``cap`` is an unbiased subsample
+        shuf = rng.permutation(n)
+        order = shuf[np.argsort(assignments[shuf], kind="stable")]
+        starts = np.zeros(n_parents + 1, np.int64)
+        starts[1:] = np.cumsum(counts)
+        cap = max(int(counts.max()) if n else k, k)
+        cap = min(1 << int(np.ceil(np.log2(cap))), train_cap)
+        offs = np.arange(cap)
+        pos = np.minimum(starts[:-1, None] + offs[None], max(n - 1, 0))
+        pvalid = offs[None] < np.minimum(counts, cap)[:, None]
+        padded = descs[order[pos]] if n else np.zeros((n_parents, cap, 8),
+                                                      np.uint32)
+        padded[~pvalid] = 0
+
+        key, sub = jax.random.split(key)
+        pkeys = jax.random.split(sub, n_parents)
+        pchunk = max(1, chunk_budget // cap)
+        # pad the parent axis to a whole number of chunks: one compiled
+        # executable per (pchunk, cap) shape
+        n_pad = int(np.ceil(n_parents / pchunk)) * pchunk
+        if n_pad != n_parents:
+            padded = np.concatenate(
+                [padded, np.zeros((n_pad - n_parents, cap, 8), np.uint32)])
+            pvalid = np.concatenate(
+                [pvalid, np.zeros((n_pad - n_parents, cap), bool)])
+            pkeys = jnp.concatenate(
+                [pkeys, jnp.zeros((n_pad - n_parents, 2), pkeys.dtype)])
+        cents = np.zeros((n_pad, k, 8), np.uint32)
+        for s in range(0, n_pad, pchunk):
+            cents[s:s + pchunk] = np.asarray(_kmedians_batch(
+                jnp.asarray(padded[s:s + pchunk]),
+                jnp.asarray(pvalid[s:s + pchunk]),
+                pkeys[s:s + pchunk], k))
+        cents = cents[:n_parents]
+        nodes.append(cents.reshape(n_parents * k, 8))
+        if n:
+            child = np.asarray(_assign_children(
+                descs_j, jnp.asarray(cents),
+                jnp.asarray(assignments.astype(np.int32)), k))
+            assignments = assignments * k + child
     return Vocabulary(k=k, levels=levels, nodes=nodes)
 
 

@@ -123,6 +123,21 @@ class Relocalizer:
         self._pending_kfs: List[KeyFrame] = []
         self._key = jax.random.PRNGKey(42)
         self.loops_closed = 0
+        # vocabulary growth (VERDICT r3 #4): the online tree starts small
+        # (1000 words from the first keyframes) and RETRAINS DEEPER as the
+        # corpus grows, re-quantizing every indexed keyframe — the scalable
+        # stand-in for the reference's ~1M-word pre-trained ORBvoc
+        # (``Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h``). ``_kfs`` holds
+        # every indexed keyframe for re-indexing; ``_corpus`` a bounded
+        # per-keyframe descriptor sample for retraining.
+        self.vocab_k = 10
+        self.growth_enabled = True
+        self._kfs: List[KeyFrame] = []
+        self._corpus: List[np.ndarray] = []
+        self._corpus_total = 0
+        self._corpus_rng = np.random.default_rng(17)
+        self.corpus_per_kf = 500
+        self.corpus_cap = 400_000
         # covisibility-consistency window (LoopClosing::DetectLoop,
         # LoopClosing.cc:141-229): a candidate is accepted only after its
         # covisibility group stays consistent across `consistency_th`
@@ -144,10 +159,54 @@ class Relocalizer:
         if total < min_descs:
             return False
         corpus = np.concatenate(self._pending_descs)[:20000]
-        self.vocab = train_vocabulary(corpus, k=8, levels=3)
+        self.vocab = train_vocabulary(corpus, k=self.vocab_k, levels=3)
         self.db = KeyFrameDatabase(self.vocab)
         self._pending_descs = []
         return True
+
+    def _sample_corpus(self, desc: np.ndarray) -> None:
+        if self._corpus_total >= self.corpus_cap:
+            return
+        if len(desc) > self.corpus_per_kf:
+            sel = self._corpus_rng.choice(len(desc), self.corpus_per_kf,
+                                          replace=False)
+            desc = desc[sel]
+        self._corpus.append(desc)
+        self._corpus_total += len(desc)
+
+    def _target_levels(self) -> int:
+        """Vocabulary depth schedule: deeper as keyframes/corpus accumulate
+        (10^4 words by 20 keyframes, 10^5 past 150), capped so the word
+        count stays within ~2x the training corpus."""
+        n_kfs = len(self._kfs)
+        levels = 3
+        for th, lv in ((20, 4), (150, 5), (800, 6)):
+            if n_kfs >= th:
+                levels = lv
+        while levels > 3 and self.vocab_k ** levels > 2 * self._corpus_total:
+            levels -= 1
+        return levels
+
+    def _maybe_grow_vocab(self) -> None:
+        if not self.growth_enabled or self.vocab is None:
+            return
+        target = self._target_levels()
+        if target <= self.vocab.levels:
+            return
+        corpus = np.concatenate(self._corpus)
+        if len(corpus) > 200_000:
+            sel = self._corpus_rng.choice(len(corpus), 200_000, replace=False)
+            corpus = corpus[sel]
+        self.vocab = train_vocabulary(corpus, k=self.vocab_k, levels=target)
+        # re-quantize every indexed keyframe under the new words and rebuild
+        # the inverted file (the saved-map path persists the retrained nodes,
+        # so save/load reproduces these words exactly)
+        self.db = KeyFrameDatabase(self.vocab)
+        self._kf_words = {}
+        for kf in self._kfs:
+            words = self.vocab.quantize(kf.h.desc, kf.h.valid)
+            self._kf_words[kf.kf_id] = words
+            self.db.add(kf.kf_id, words)
 
     def add_keyframe(self, kf: KeyFrame) -> None:
         # cached host copy (one packed readback at insertion) — an
@@ -155,6 +214,7 @@ class Relocalizer:
         # round trips per keyframe
         desc = kf.h.desc
         valid = kf.h.valid
+        self._sample_corpus(desc[valid])
         if self.vocab is None:
             self._pending_descs.append(desc[valid])
             self._pending_kfs.append(kf)
@@ -168,11 +228,13 @@ class Relocalizer:
             self._pending_kfs = []
             return
         self._index(kf)
+        self._maybe_grow_vocab()
 
     def _index(self, kf: KeyFrame) -> None:
-        words = self.vocab.quantize(kf.frame.desc, kf.frame.valid)
+        words = self.vocab.quantize(kf.h.desc, kf.h.valid)
         self._kf_words[kf.kf_id] = words
         self.db.add(kf.kf_id, words)
+        self._kfs.append(kf)
 
     # ----------------------------------------------------- relocalization
 
@@ -227,7 +289,7 @@ class Relocalizer:
     # -------------------------------------------------------- loop closing
 
     def try_close_loop(self, system, min_gap: int = 15,
-                       min_score: float = 0.35, min_inliers: int = 25,
+                       min_score: float = 0.08, min_inliers: int = 25,
                        kf: Optional[KeyFrame] = None) -> bool:
         """Detect + correct a loop against ``kf`` (default: the newest
         keyframe; the async mapping pipeline passes the keyframe whose

@@ -610,6 +610,10 @@ class SlamSystem:
         from sindslam_tpu.slam.frame import HostFrame
 
         obs_pid, obs_kf = [], []
+        # no retrain during the re-indexing loop below: the restored
+        # vocabulary must keep the exact words the saved system used
+        if self.relocalizer is not None:
+            self.relocalizer.growth_enabled = False
         for k in range(int(data["n_keyframes"])):
             p = f"kf{k}_"
             frame = FrameData(
@@ -635,6 +639,8 @@ class SlamSystem:
             obs_kf.append(np.full(len(seen), k, np.int32))
             if self.relocalizer is not None:
                 self.relocalizer.add_keyframe(kf)
+        if self.relocalizer is not None:
+            self.relocalizer.growth_enabled = True
         if obs_pid:
             m._obs_pid = np.concatenate(obs_pid)
             m._obs_kf = np.concatenate(obs_kf)
