@@ -47,6 +47,17 @@ class CameraConfig:
     # Close/far point threshold in virtual-stereo units (``ThDepth``).
     th_depth: float = 40.0
     rgb: bool = True  # color order flag (``Camera.RGB``)
+    # Depth-discontinuity veto for per-keypoint depth (slam/frame.py::
+    # _depth_ur): a keypoint whose radius-2 depth window spans more than
+    # max(abs, rel * z) — or touches an invalid pixel — becomes a MONO
+    # observation. OFF by default (thresholds at inf): measured on the
+    # benchmark suite the near-side edge depth is valid and those close
+    # high-parallax corners are the most informative (masked ATE regressed
+    # 3-5x with the veto on). Kept configurable for sensors with flying-
+    # pixel edge artifacts (ToF) where the reference implicitly relies on
+    # the sensor invalidating boundary pixels (``Frame.cc:714``).
+    depth_edge_abs_m: float = float("inf")
+    depth_edge_rel: float = float("inf")
 
     @property
     def baseline(self) -> float:

@@ -35,10 +35,41 @@ class FrameData(NamedTuple):
 
 @functools.partial(jax.jit, static_argnames=("cam",))
 def _depth_ur(xy: jnp.ndarray, depth_img: jnp.ndarray, cam: CameraConfig):
+    """Per-keypoint depth + virtual-right uR, with DEPTH-EDGE rejection.
+
+    A corner detected ON a depth discontinuity (object boundary against a
+    farther surface) reads a side-ambiguous depth; sensors with flying-pixel
+    artifacts (ToF) deliver garbage there, which the reference implicitly
+    relies on the sensor invalidating (``Frame::ComputeStereoFromRGBD``
+    keeps any z > 0, ``Frame.cc:714``). The veto is OFF by default
+    (config thresholds at inf): A/B on the benchmark suite showed the
+    near-side edge depth is valid in rendered/structured-light-style data
+    and those close corners carry the most pose information (masked ATE
+    regressed 3-5x with the veto on). Keypoints failing the window test
+    keep valid=True but become mono observations (depth 0 / uR -1)."""
     xi = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32), 0, cam.width - 1)
     yi = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), 0, cam.height - 1)
     z = depth_img[yi, xi]
     z_ok = (z > 0.05) & jnp.isfinite(z)
+    if np.isfinite(cam.depth_edge_abs_m) or np.isfinite(cam.depth_edge_rel):
+        # window min/max over 8 neighbors at radius 2: an invalid neighbor
+        # or a depth range beyond max(abs, rel * z) marks a discontinuity
+        # (cam is a static jit arg, so the disabled path traces to nothing)
+        zmin = z
+        zmax = z
+        any_bad = jnp.zeros_like(z_ok)
+        for dy, dx in ((-2, 0), (2, 0), (0, -2), (0, 2),
+                       (-2, -2), (2, 2), (-2, 2), (2, -2)):
+            nz = depth_img[jnp.clip(yi + dy, 0, cam.height - 1),
+                           jnp.clip(xi + dx, 0, cam.width - 1)]
+            nb_ok = (nz > 0.05) & jnp.isfinite(nz)
+            any_bad |= ~nb_ok
+            zmin = jnp.minimum(zmin, jnp.where(nb_ok, nz, zmin))
+            zmax = jnp.maximum(zmax, jnp.where(nb_ok, nz, zmax))
+        edge = any_bad | ((zmax - zmin) >
+                          jnp.maximum(cam.depth_edge_abs_m,
+                                      cam.depth_edge_rel * z))
+        z_ok &= ~edge
     z = jnp.where(z_ok, z, 0.0)
     ur = jnp.where(z_ok, xy[:, 0] - cam.bf / jnp.where(z_ok, z, 1.0), -1.0)
     return z, ur

@@ -276,6 +276,22 @@ class Relocalizer:
                 continue
             pts_w = np.zeros((frame.xy.shape[0], 3), np.float32)
             pts_w[ok] = system.map.pos[pids[ok]]
+            # depth-free PnP RANSAC first (ref PnPsolver + RANSAC,
+            # Tracking.cc:357): recovers the pose with NO prior, so a
+            # kidnapped camera relocalizes even when the candidate
+            # keyframe's pose is far from the truth (and in mono, where
+            # there is no 3D-3D option)
+            from sindslam_tpu.slam.pnp import relocalize_pnp
+
+            self._key, sub = jax.random.split(self._key)
+            Tcw_pnp, n_pnp = relocalize_pnp(
+                jnp.asarray(pts_w), frame.xy, jnp.asarray(ok),
+                self.cfg.camera, self.cfg.tracking, sub,
+                ur=frame.ur, levels=frame.level)
+            if Tcw_pnp is not None and \
+                    n_pnp >= self.cfg.tracking.min_tracked_points:
+                return np.asarray(Tcw_pnp), n_pnp
+            # fall back: robust GN seeded at the candidate keyframe's pose
             opt = pose_optimization(
                 jnp.asarray(kf.Tcw.astype(np.float32)), jnp.asarray(pts_w),
                 frame.xy, jnp.where(jnp.asarray(ok), frame.ur, -1.0),
@@ -460,6 +476,13 @@ class Relocalizer:
                 system.map.pos[sel] = p @ C[:3, :3].T + C[:3, 3]
         for kidx, k in enumerate(kfs):
             k.Tcw = new_poses[kidx]
+        # SearchAndFuse role (LoopClosing.cc:CorrectLoop -> SearchAndFuse):
+        # after correction the revisit keyframes' fresh map points land on
+        # top of the originals — fuse them so the covisibility graph
+        # reconnects across the loop (otherwise the two passes keep disjoint
+        # duplicate geometry)
+        for k in [kf] + system.map.covisible_keyframes(kf, k=5):
+            system.map.fuse_duplicates(k)
         # post-loop global BA (ref spawns RunGlobalBundleAdjustment after
         # CorrectLoop, LoopClosing.cc:579,645): refine the whole map around
         # the pose-graph solution
