@@ -61,6 +61,76 @@ def rigid_from_pairs(pa: jnp.ndarray, pb: jnp.ndarray, w: jnp.ndarray
     return T
 
 
+def sim3_from_pairs(pa: jnp.ndarray, pb: jnp.ndarray, w: jnp.ndarray
+                    ) -> jnp.ndarray:
+    """Weighted Umeyama WITH scale: find S = [[sR, t], [0, 1]] with
+    pb ~ S pa (the reference Sim3Solver's Horn alignment including the
+    scale estimate, ``Sim3Solver.cc:150-230``)."""
+    wsum = jnp.sum(w) + 1e-9
+    ca = jnp.sum(pa * w[:, None], 0) / wsum
+    cb = jnp.sum(pb * w[:, None], 0) / wsum
+    A = (pa - ca) * w[:, None]
+    B = pb - cb
+    W = jnp.matmul(A.T, B, precision=_HI)
+    U, S, Vt = jnp.linalg.svd(W)
+    d = jnp.sign(jnp.linalg.det(jnp.matmul(Vt.T, U.T, precision=_HI)))
+    D = jnp.diag(jnp.array([1.0, 1.0, 1.0]).at[2].set(d))
+    R = jnp.matmul(jnp.matmul(Vt.T, D, precision=_HI), U.T, precision=_HI)
+    var_a = jnp.sum(w[:, None] * (pa - ca) ** 2) + 1e-12
+    s = jnp.sum(S * jnp.diag(D)) / var_a
+    t = cb - s * (R @ ca)
+    return jnp.eye(4).at[:3, :3].set(s * R).at[:3, 3].set(t)
+
+
+@functools.partial(jax.jit, static_argnames=("n_hyp",))
+def ransac_sim3(pa: jnp.ndarray, pb: jnp.ndarray, valid: jnp.ndarray,
+                key: jax.Array, thresh: float = 0.10, n_hyp: int = 256
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched 3-point Sim3 RANSAC: pb ~ S pa with scale free (the mono
+    Sim3Solver role, ``Sim3Solver.cc:1-425``). Returns (S (4, 4), inliers)."""
+    n = pa.shape[0]
+    logw = jnp.log(valid.astype(jnp.float32) + 1e-12)
+    g = jax.random.gumbel(key, (n_hyp, n)) + logw[None]
+    _, idx = jax.lax.top_k(g, 3)
+    w3 = jnp.ones((n_hyp, 3))
+    S_all = jax.vmap(sim3_from_pairs)(pa[idx], pb[idx], w3)
+    proj = jnp.einsum("hij,nj->hni", S_all[:, :3, :3], pa) \
+        + S_all[:, None, :3, 3]
+    err = jnp.linalg.norm(proj - pb[None], axis=-1)
+    inl = (err < thresh) & valid[None]
+    # reject degenerate scales (a 3-point sample on a line / repeated point)
+    s_all = jnp.cbrt(jnp.clip(jnp.linalg.det(S_all[:, :3, :3]), 1e-12, 1e12))
+    finite = jnp.all(jnp.isfinite(S_all), axis=(-1, -2)) & \
+        (s_all > 0.2) & (s_all < 5.0)
+    score = jnp.sum(inl, -1) * finite
+    best = jnp.argmax(score)
+    S_ref = sim3_from_pairs(pa, pb, inl[best].astype(jnp.float32))
+    proj_r = jnp.einsum("ij,nj->ni", S_ref[:3, :3], pa) + S_ref[:3, 3]
+    inl_r = (jnp.linalg.norm(proj_r - pb, axis=-1) < thresh) & valid
+    better = (jnp.sum(inl_r) >= score[best]) & \
+        jnp.all(jnp.isfinite(S_ref))
+    S_out = jnp.where(better, S_ref, S_all[best])
+    return S_out, jnp.where(better, inl_r, inl[best])
+
+
+@functools.partial(jax.jit, static_argnames=("n_iters",))
+def refine_sim3_irls(pa: jnp.ndarray, pb: jnp.ndarray, inl: jnp.ndarray,
+                     S0: jnp.ndarray, n_iters: int = 8,
+                     delta: float = 0.05) -> jnp.ndarray:
+    """Huber-IRLS refinement of a Sim3 on the inlier set (the reference's
+    ``OptimizeSim3`` with scale free, ``Optimizer.cc:1046``)."""
+    def step(S, _):
+        proj = jnp.matmul(pa, S[:3, :3].T, precision=_HI) + S[:3, 3]
+        r = jnp.linalg.norm(proj - pb, axis=-1)
+        w = jnp.where(inl, jnp.minimum(1.0, delta / jnp.maximum(r, 1e-9)), 0.0)
+        S_new = sim3_from_pairs(pa, pb, w)
+        ok = jnp.all(jnp.isfinite(S_new))
+        return jnp.where(ok, S_new, S), None
+
+    S, _ = jax.lax.scan(step, S0, None, length=n_iters)
+    return S
+
+
 @functools.partial(jax.jit, static_argnames=("n_iters",))
 def refine_rigid_irls(pa: jnp.ndarray, pb: jnp.ndarray, inl: jnp.ndarray,
                       T0: jnp.ndarray, n_iters: int = 8,
@@ -321,11 +391,19 @@ class Relocalizer:
         covis_kfs = system.map.covisible_keyframes(kf, k=20, min_shared=10)
         covis = {k.kf_id for k in covis_kfs}
         # reference-score gate (DetectLoopCandidates, LoopClosing.cc:141):
-        # a loop candidate must score at least as high as the current
-        # keyframe scores against its own covisible neighbors
+        # a loop candidate must score comparably to the current keyframe's
+        # own covisible neighbors. The reference uses the bare min; here the
+        # min is scaled by 0.7 — our keyframes insert densely (adjacent ones
+        # are near-duplicates, pushing the neighbor min up) and the online
+        # tf-L1 scores are flatter than a 1M-word pre-trained ORBvoc's, so a
+        # genuine revisit after drift lands just UNDER the bare min
+        # (measured on the room orbit: true matches 0.20-0.27 vs gate
+        # 0.17-0.33). Precision is restored downstream by the covisibility-
+        # consistency window and the >= min_inliers 3D-3D RANSAC check.
         ref_scores = [self.db.score_between(words, k.kf_id)
                       for k in covis_kfs if k.kf_id in self.db.signatures]
-        gate = max(min_score, min(ref_scores) if ref_scores else min_score)
+        gate = max(min_score,
+                   0.7 * min(ref_scores) if ref_scores else min_score)
         cands = self.db.query_accumulated(
             words, self._covis_of(system), exclude=recent | covis,
             min_score=gate)[:3]
@@ -362,40 +440,74 @@ class Relocalizer:
 
     def _close_with(self, system, kf: KeyFrame, cand: KeyFrame,
                     min_inliers: int) -> bool:
+        scale_free = bool(getattr(system.map, "mono", False))
         m = matching.match_mutual_nn(
             kf.frame.desc, kf.frame.valid, cand.frame.desc, cand.frame.valid,
             max_dist=self.cfg.tracking.hamming_th_low)
         mv = np.asarray(m.valid)
         tgt = np.asarray(m.idx)
-        dk = kf.h.depth
-        dc = cand.h.depth
-        ok = mv & (dk > 0) & (dc[tgt.clip(0)] > 0)
-        if ok.sum() < min_inliers:
-            return False
-        # camera-frame 3-D points on both sides
-        pk = np.asarray(unproject_to_world(kf.frame, jnp.eye(4), self.cfg.camera))
-        pc = np.asarray(unproject_to_world(cand.frame, jnp.eye(4), self.cfg.camera))
-        pa = np.zeros_like(pk)
-        pa[ok] = pk[ok]
-        pb = np.zeros_like(pk)
-        pb[ok] = pc[tgt[ok]]
+        N = kf.point_ids.shape[0]
+        pa = np.zeros((N, 3), np.float32)
+        pb = np.zeros((N, 3), np.float32)
+        if scale_free:
+            # monocular: no depth channel — 3-D anchors are the matched MAP
+            # POINTS in each keyframe's camera frame, exactly the reference
+            # Sim3Solver's input (Sim3Solver.cc:43-85 takes vpMatched
+            # MapPoints of both keyframes)
+            pid_a = kf.point_ids
+            pid_b = cand.point_ids[tgt.clip(0)]
+            ok = mv & (pid_a >= 0) & (pid_b >= 0)
+            ok &= system.map.valid[pid_a.clip(0)] & \
+                system.map.valid[pid_b.clip(0)]
+            if ok.sum() < min_inliers:
+                return False
+            pa[ok] = system.map.pos[pid_a[ok]] @ kf.Tcw[:3, :3].T \
+                + kf.Tcw[:3, 3]
+            pb[ok] = system.map.pos[pid_b[ok]] @ cand.Tcw[:3, :3].T \
+                + cand.Tcw[:3, 3]
+        else:
+            dk = kf.h.depth
+            dc = cand.h.depth
+            ok = mv & (dk > 0) & (dc[tgt.clip(0)] > 0)
+            if ok.sum() < min_inliers:
+                return False
+            # camera-frame 3-D points on both sides
+            pk = np.asarray(unproject_to_world(kf.frame, jnp.eye(4),
+                                               self.cfg.camera))
+            pc = np.asarray(unproject_to_world(cand.frame, jnp.eye(4),
+                                               self.cfg.camera))
+            pa[ok] = pk[ok]
+            pb[ok] = pc[tgt[ok]]
         self._key, sub = jax.random.split(self._key)
-        T_rel, inl = ransac_rigid(jnp.asarray(pa), jnp.asarray(pb),
-                                  jnp.asarray(ok), sub)
-        n_inl = int(jnp.sum(inl))
-        if n_inl < min_inliers:
-            return False
-        # iterative robust refinement on the inlier set (OptimizeSim3 role)
-        T_rel = refine_rigid_irls(jnp.asarray(pa), jnp.asarray(pb), inl, T_rel)
+        if scale_free:
+            # Sim3 with scale free (ref Sim3Solver + OptimizeSim3,
+            # bFixScale=false for mono): mono scale drift is part of the
+            # loop error and must be measured by the loop edge
+            T_rel, inl = ransac_sim3(jnp.asarray(pa), jnp.asarray(pb),
+                                     jnp.asarray(ok), sub)
+            if int(jnp.sum(inl)) < min_inliers:
+                return False
+            T_rel = refine_sim3_irls(jnp.asarray(pa), jnp.asarray(pb), inl,
+                                     T_rel)
+        else:
+            T_rel, inl = ransac_rigid(jnp.asarray(pa), jnp.asarray(pb),
+                                      jnp.asarray(ok), sub)
+            if int(jnp.sum(inl)) < min_inliers:
+                return False
+            # iterative robust refinement on the inliers (OptimizeSim3 role,
+            # scale fixed as the reference does for RGB-D)
+            T_rel = refine_rigid_irls(jnp.asarray(pa), jnp.asarray(pb), inl,
+                                      T_rel)
         # loop constraint: points_cand = T_rel points_kf
         # => Tcw_cand_corrected = T_rel @ Tcw_kf, so edge T_kf_cand:
         T_rel_np = np.asarray(T_rel)
-        self._apply_pose_graph(system, kf, cand, T_rel_np)
+        self._apply_pose_graph(system, kf, cand, T_rel_np,
+                               scale_free=scale_free)
         return True
 
     def _apply_pose_graph(self, system, kf: KeyFrame, cand: KeyFrame,
-                          T_rel: np.ndarray, min_covis_weight: int = 100
-                          ) -> None:
+                          T_rel: np.ndarray, min_covis_weight: int = 100,
+                          scale_free: bool = False) -> None:
         """Essential-graph loop correction (ref ``Optimizer::
         OptimizeEssentialGraph``, ``Optimizer.cc:781-1040``). The graph is
         built from FOUR edge families, all with unit information weight
@@ -459,10 +571,24 @@ class Relocalizer:
             edge_w=jnp.asarray(np.array(edges_w, np.float32)),
             fixed=jnp.asarray(np.arange(K) == 0),
         )
-        new_poses = np.asarray(optimize_pose_graph(graph, n_iters=25))
+        if scale_free:
+            # Sim(3) essential graph (mono, ref bFixScale=false): current
+            # SE3 estimates embed with s=1; only the loop edge carries a
+            # measured scale. Corrected Sim3 poses convert back to SE3 with
+            # t/s (LoopClosing::CorrectLoop's normalization) and the full
+            # similarity correction re-anchors the points below.
+            from sindslam_tpu.slam.pose_graph import optimize_pose_graph_sim3
+
+            new_poses = np.asarray(optimize_pose_graph_sim3(graph,
+                                                            n_iters=30))
+        else:
+            new_poses = np.asarray(optimize_pose_graph(graph, n_iters=25))
 
         # re-anchor map points to their creating keyframe's correction
-        # (LoopClosing::CorrectLoop transforms points with their ref KF)
+        # (LoopClosing::CorrectLoop transforms points with their ref KF).
+        # The 4x4 algebra below is valid for BOTH SE3 and Sim3 corrections:
+        # p' = inv(S_new) @ T_old @ p keeps each point's camera-frame coords
+        # under its corrected keyframe, scaling mono geometry as needed.
         corrections = {}
         for kidx in range(K):
             corrections[kidx] = (np.linalg.inv(new_poses[kidx]) @ old_poses[kidx])
@@ -475,7 +601,17 @@ class Relocalizer:
                 p = system.map.pos[sel]
                 system.map.pos[sel] = p @ C[:3, :3].T + C[:3, 3]
         for kidx, k in enumerate(kfs):
-            k.Tcw = new_poses[kidx]
+            P = new_poses[kidx]
+            if scale_free:
+                # Sim3 -> SE3: [[sR, t]] becomes [[R, t/s]] (the reference's
+                # CorrectLoop divides the translation by the scale)
+                s = float(np.cbrt(max(np.linalg.det(P[:3, :3]), 1e-30)))
+                T = np.eye(4, dtype=np.float32)
+                T[:3, :3] = P[:3, :3] / s
+                T[:3, 3] = P[:3, 3] / s
+                k.Tcw = T
+            else:
+                k.Tcw = P
         # SearchAndFuse role (LoopClosing.cc:CorrectLoop -> SearchAndFuse):
         # after correction the revisit keyframes' fresh map points land on
         # top of the originals — fuse them so the covisibility graph

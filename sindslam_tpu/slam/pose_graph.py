@@ -130,3 +130,87 @@ def optimize_pose_graph(graph: PoseGraph, n_iters: int = 20,
     carry0 = (graph.poses, jnp.float32(1e-5), total_cost(graph.poses))
     (poses, _, _), _ = jax.lax.scan(gn_step, carry0, None, length=n_iters)
     return poses
+
+
+# ---------------------------------------------------------------- Sim(3)
+
+def _edge_terms_sim3(Si, Sj, S_meas):
+    """7-DoF residual r = log_sim3(S_meas^-1 Si Sj^-1) + first-order adjoint
+    Jacobians (the Sim3 essential graph of the reference's monocular mode,
+    ``Optimizer.cc:781`` with ``bFixScale=false``)."""
+    from sindslam_tpu.geometry import sim3 as s3
+
+    S_ij = Si @ s3.sim3_inverse(Sj[None])[0]
+    E = s3.sim3_inverse(S_meas[None])[0] @ S_ij
+    r = s3.sim3_log(E[None])[0]
+    Ji = s3.sim3_adjoint(s3.sim3_inverse(S_meas[None])[0][None])[0]
+    Jj = -s3.sim3_adjoint(E[None])[0]
+    return r, Ji, Jj
+
+
+@functools.partial(jax.jit, static_argnames=("n_iters",))
+def optimize_pose_graph_sim3(graph: PoseGraph, n_iters: int = 25,
+                             damping: float = 1e-5) -> jnp.ndarray:
+    """Sim(3) essential-graph optimization: poses/edges are [[sR, t], [0, 1]]
+    matrices; returns optimized (K, 4, 4) Sim3 poses. Same Levenberg
+    accept/reject structure as the SE(3) solver, with 7-dim tangents so
+    SCALE drift distributes around the loop (monocular parity:
+    ``OptimizeEssentialGraph`` with ``bFixScale=false``)."""
+    from sindslam_tpu.geometry import sim3 as s3
+
+    K = graph.poses.shape[0]
+    D = 7
+    terms_fn = jax.vmap(_edge_terms_sim3)
+
+    def total_cost(poses):
+        r, _Ji, _Jj = terms_fn(poses[graph.edge_i], poses[graph.edge_j],
+                               graph.edge_T)
+        return jnp.sum(graph.edge_w * jnp.sum(r * r, axis=-1))
+
+    def gn_step(carry, _):
+        poses, lam, cost = carry
+        r, Ji, Jj = terms_fn(poses[graph.edge_i], poses[graph.edge_j],
+                             graph.edge_T)
+        w = graph.edge_w
+        onehot_i = (graph.edge_i[:, None] == jnp.arange(K)[None, :]
+                    ).astype(jnp.float32)
+        onehot_j = (graph.edge_j[:, None] == jnp.arange(K)[None, :]
+                    ).astype(jnp.float32)
+        Jiw = Ji * w[:, None, None]
+        Jjw = Jj * w[:, None, None]
+        Hii = jnp.einsum("ea,eij,eb->aibj", onehot_i,
+                         jnp.einsum("eri,erj->eij", Ji, Ji, precision=_HI)
+                         * w[:, None, None], onehot_i, precision=_HI)
+        Hjj = jnp.einsum("ea,eij,eb->aibj", onehot_j,
+                         jnp.einsum("eri,erj->eij", Jj, Jj, precision=_HI)
+                         * w[:, None, None], onehot_j, precision=_HI)
+        Hij = jnp.einsum("ea,eij,eb->aibj", onehot_i,
+                         jnp.einsum("eri,erj->eij", Ji, Jj, precision=_HI)
+                         * w[:, None, None], onehot_j, precision=_HI)
+        H = (Hii + Hjj + Hij + jnp.swapaxes(jnp.swapaxes(Hij, 0, 2), 1, 3)
+             ).reshape(K * D, K * D)
+        bi = jnp.einsum("ea,eri,er->ai", onehot_i, Jiw, r, precision=_HI)
+        bj = jnp.einsum("ea,eri,er->ai", onehot_j, Jjw, r, precision=_HI)
+        b = (bi + bj).reshape(K * D)
+
+        freeD = jnp.repeat(~graph.fixed, D)
+        H = jnp.where(freeD[:, None] & freeD[None, :], H, 0.0)
+        dH = jnp.diagonal(H)
+        H = H + jnp.diag(jnp.where(freeD, lam * dH + damping, 1.0))
+        b = jnp.where(freeD, b, 0.0)
+        dx = -jnp.linalg.solve(H, b).reshape(K, D)
+        dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
+        new_poses = s3.sim3_exp(dx) @ poses
+        new_poses = jnp.where(graph.fixed[:, None, None], poses, new_poses)
+
+        cost_n = total_cost(new_poses)
+        ok = cost_n < cost
+        poses = jnp.where(ok, new_poses, poses)
+        lam = jnp.clip(jnp.where(ok, lam * (1.0 / 3.0), lam * 10.0),
+                       1e-8, 1e6)
+        cost = jnp.where(ok, cost_n, cost)
+        return (poses, lam, cost), None
+
+    carry0 = (graph.poses, jnp.float32(1e-5), total_cost(graph.poses))
+    (poses, _, _), _ = jax.lax.scan(gn_step, carry0, None, length=n_iters)
+    return poses

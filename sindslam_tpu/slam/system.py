@@ -317,8 +317,12 @@ class SlamSystem:
         ids = self.map.allocate_points(pts_w[idx], host.desc[idx], 0)
         point_ids = np.full(frame.xy.shape[0], -1, np.int64)
         point_ids[idx] = ids
-        self.map.insert_keyframe(frame, self.Tcw, point_ids, timestamp,
-                                 host=host)
+        kf = self.map.insert_keyframe(frame, self.Tcw, point_ids, timestamp,
+                                      host=host)
+        # index the init keyframe for place recognition too (it is the loop
+        # target a full-circle trajectory comes back to)
+        if self.relocalizer is not None:
+            self.relocalizer.add_keyframe(kf)
         self.prev_frame = frame
         self.ref_tracked = len(idx)
         self._record(timestamp)
