@@ -161,7 +161,8 @@ def main() -> int:
         try:
             from sindslam_tpu.evaluation.benchmark import loop_closure_pair
 
-            lp = loop_closure_pair(n_frames=240, scale=0.5, n_features=800)
+            lp = loop_closure_pair(n_frames=300, scale=0.5, n_features=800,
+                                   orbits=1.3)
             print(json.dumps({
                 "metric": "ATE rmse, loop closing ON (room-orbit revisit)",
                 "value": round(lp["ate_loop_on_m"], 5),

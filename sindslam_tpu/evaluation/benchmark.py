@@ -101,13 +101,17 @@ def run_sequence_slam(frames: List[tuple], cfg: SystemConfig,
     from sindslam_tpu.slam.frame import build_frame, frame_from_frontend
     from sindslam_tpu.slam.system import SlamSystem
 
+    import time as _time
+
     cam = cfg.camera
     slam = SlamSystem(cfg)
     slam.enable_loop_closing = loop_closing
     state = None
     masks = []
     ts_out = []
+    frame_s: List[float] = []   # wall time per tracked frame (host+device)
     for rgb, depth, gt_dyn, _pose, ts in frames:
+        _t0 = _time.perf_counter()
         rgb_j = jnp.asarray(rgb)
         d = jnp.asarray(depth)
         g = im.rgb_to_gray(rgb_j)
@@ -126,6 +130,7 @@ def run_sequence_slam(frames: List[tuple], cfg: SystemConfig,
             slam.track_frame(frame, ts)
             masks.append(np.asarray(mask))
             ts_out.append(ts)
+            frame_s.append(_time.perf_counter() - _t0)
             continue
         else:
             mask = jnp.zeros((cam.height, cam.width), jnp.int32)
@@ -135,10 +140,15 @@ def run_sequence_slam(frames: List[tuple], cfg: SystemConfig,
         slam.track_frame(frame, ts)
         masks.append(np.asarray(mask))
         ts_out.append(ts)
+        frame_s.append(_time.perf_counter() - _t0)
     slam.shutdown()
     ts_arr, est = slam.trajectory()
     info = {"masks": masks, "n_keyframes": len(slam.map.keyframes),
+            "n_culled": sum(k.culled for k in slam.map.keyframes),
             "n_points": int(slam.map.valid.sum()),
+            "n_obs_pairs": len(slam.map._obs_pid),
+            "frame_s": np.array(frame_s),
+            "kf_traj": slam.keyframe_trajectory(),
             "loops_closed": (slam.relocalizer.loops_closed
                              if slam.relocalizer else 0)}
     return ts_arr, est, info
@@ -193,6 +203,16 @@ def mask_iou(frames: List[tuple], masks: List[np.ndarray],
     return float(np.mean(ious)) if ious else float("nan")
 
 
+def _kf_ate(frames: List[tuple], kf_traj) -> float:
+    from sindslam_tpu.evaluation import evaluate_ate
+
+    kf_ts, kf_twc = kf_traj
+    gt_ts = np.array([f[4] for f in frames])
+    gt_xyz = np.stack([f[3][:3, 3] for f in frames])
+    est_xyz = np.stack([p[:3, 3] for p in kf_twc])
+    return float(evaluate_ate(gt_ts, gt_xyz, kf_ts, est_xyz).rmse)
+
+
 def loop_closure_pair(n_frames: int = 240, scale: float = 0.5,
                       n_features: int = 800, orbits: float = 1.0,
                       seed: int = 0) -> Dict[str, float]:
@@ -214,12 +234,26 @@ def loop_closure_pair(n_frames: int = 240, scale: float = 0.5,
                                                loop_closing=True)
     ts_off, est_off, info_off = run_sequence_slam(frames, cfg, use_dyna=False,
                                                   loop_closing=False)
+    fs = info_on["frame_s"]
     return {
         "ate_loop_on_m": ate_rmse(frames, ts_on, est_on),
         "ate_loop_off_m": ate_rmse(frames, ts_off, est_off),
+        # keyframe-trajectory ATE: the loop correction acts on KEYFRAMES
+        # (pose graph + GBA); the full-trajectory replay dilutes it with
+        # inter-keyframe tracking noise, so the keyframe metric is the
+        # direct readout of the correction (ref SaveKeyFrameTrajectoryTUM)
+        "kf_ate_loop_on_m": _kf_ate(frames, info_on["kf_traj"]),
+        "kf_ate_loop_off_m": _kf_ate(frames, info_off["kf_traj"]),
         "loops_closed": info_on["loops_closed"],
         "n_keyframes": info_on["n_keyframes"],
         "n_keyframes_off": info_off["n_keyframes"],
+        # long-run scaling telemetry (VERDICT r3 #6): median per-frame host
+        # time early vs late in the sequence, live observation-pair count
+        "frame_ms_median_early": float(np.median(fs[5:45]) * 1000),
+        "frame_ms_median_late": float(np.median(fs[-40:]) * 1000),
+        "n_culled": info_on["n_culled"],
+        "n_obs_pairs": info_on["n_obs_pairs"],
+        "n_points": info_on["n_points"],
     }
 
 

@@ -27,7 +27,7 @@ pubPointCloud.cc``) TPU-first:
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
 
@@ -198,6 +198,45 @@ class DenseMapper:
             min_hits=2, sor_mean_k=self.cfg.outlier_mean_k,
             sor_stddev=self.cfg.outlier_std,
             sor_radius=self.cfg.outlier_search_radius_vox)
+
+    def export_occupancy_2d(self, y_min: float = -0.5, y_max: float = 1.4,
+                            resolution: Optional[float] = None
+                            ) -> Tuple[np.ndarray, np.ndarray]:
+        """Down-projected 2-D occupancy grid (the reference octomap_server's
+        ``downprojected_map``, ``OctomapServer.cpp:1285`` update2DMap /
+        handlePreNodeTraversal): voxels whose height (camera-down y) lies in
+        [y_min, y_max] project onto the x-z plane.
+
+        Returns (origin_xz (2,) float32 [m], grid (H, W) int8) with the
+        nav_msgs/OccupancyGrid encoding: -1 unknown, 0 known-free, 100
+        occupied. Occupied wins over free per cell; free cells come only
+        from ray-carving evidence (export_free), never absence of data.
+        """
+        res = resolution or self.cfg.secondary_resolution_m
+        occ, _rgb = self.export_cloud(filtered=False)
+        free = self.store.export_free()
+
+        def band(p):
+            return p[(p[:, 1] >= y_min) & (p[:, 1] <= y_max)]
+
+        occ = band(occ)
+        free = band(free)
+        pts = np.concatenate([occ, free]) if len(occ) + len(free) else \
+            np.zeros((1, 3), np.float32)
+        x0 = np.floor(pts[:, 0].min() / res) * res
+        z0 = np.floor(pts[:, 2].min() / res) * res
+        W = max(int(np.ceil((pts[:, 0].max() - x0) / res)) + 1, 1)
+        H = max(int(np.ceil((pts[:, 2].max() - z0) / res)) + 1, 1)
+        grid = np.full((H, W), -1, np.int8)
+        if len(free):
+            fi = ((free[:, 2] - z0) / res).astype(int)
+            fj = ((free[:, 0] - x0) / res).astype(int)
+            grid[fi.clip(0, H - 1), fj.clip(0, W - 1)] = 0
+        if len(occ):
+            oi = ((occ[:, 2] - z0) / res).astype(int)
+            oj = ((occ[:, 0] - x0) / res).astype(int)
+            grid[oi.clip(0, H - 1), oj.clip(0, W - 1)] = 100
+        return np.array([x0, z0], np.float32), grid
 
     def save_pcd(self, path: str, filtered: bool = True) -> None:
         k = self.cfg.outlier_mean_k if filtered else 0

@@ -388,6 +388,30 @@ int64_t vstore_export_sor(void* h, float min_log_odds, uint32_t min_hits,
   return n;
 }
 
+// Export KNOWN-FREE voxels: observed cells whose clamped log-odds fell to or
+// below `max_log_odds` (ray misses outvoted hits). Feeds the 2-D projected
+// occupancy map (the reference octomap_server's downprojected_map,
+// octomap_mapping/octomap_server/src/OctomapServer.cpp:1285 update2DMap):
+// free cells come only from evidence, never from absence of data.
+int64_t vstore_export_free(void* h, float max_log_odds, int32_t* out_xyz,
+                           int64_t max_out) {
+  auto* s = (VoxelStore*)h;
+  vstore_flush(h);
+  std::lock_guard<std::mutex> lk(s->cells_mu);
+  int64_t n = 0;
+  for (const auto& kv : s->cells) {
+    if (kv.second.log_odds > max_log_odds) continue;
+    if (n >= max_out) break;
+    int32_t x, y, z;
+    unpack(kv.first, &x, &y, &z);
+    out_xyz[3 * n] = x;
+    out_xyz[3 * n + 1] = y;
+    out_xyz[3 * n + 2] = z;
+    ++n;
+  }
+  return n;
+}
+
 int64_t vstore_export(void* h, float min_log_odds, uint32_t min_hits,
                       int32_t* out_xyz, uint8_t* out_rgb, int64_t max_out) {
   return vstore_export_sor(h, min_log_odds, min_hits, 0, 0.f, 0, out_xyz,

@@ -55,6 +55,10 @@ def load_library() -> ctypes.CDLL:
             ctypes.c_int32, ctypes.c_float, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
             ctypes.c_int64]
+        lib.vstore_export_free.restype = ctypes.c_int64
+        lib.vstore_export_free.argtypes = [
+            ctypes.c_void_p, ctypes.c_float,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64]
         lib.vstore_export_coarse.restype = ctypes.c_int64
         lib.vstore_export_coarse.argtypes = [
             ctypes.c_void_p, ctypes.c_double, ctypes.c_float, ctypes.c_uint32,
@@ -124,6 +128,18 @@ class VoxelStore:
             rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), max_out)
         centers = (xyz[:n].astype(np.float32) + 0.5) * self.resolution
         return centers, rgb[:n].copy()
+
+    def export_free(self, max_log_odds: float = -0.4,
+                    max_out: int = 8_000_000) -> np.ndarray:
+        """KNOWN-FREE voxel centers (N, 3) float32 [m]: observed cells whose
+        log-odds fell to or below ``max_log_odds`` (ray misses outvoted
+        hits). Evidence-based free space for the projected 2-D map."""
+        self.flush()
+        xyz = np.zeros((max_out, 3), np.int32)
+        n = self._lib.vstore_export_free(
+            self._h, max_log_odds,
+            xyz.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), max_out)
+        return (xyz[:n].astype(np.float32) + 0.5) * self.resolution
 
     def export_coarse(self, resolution2: float, min_log_odds: float = 0.85,
                       min_hits: int = 2, max_out: int = 4_000_000,

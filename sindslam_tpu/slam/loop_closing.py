@@ -529,6 +529,13 @@ class Relocalizer:
         K = len(kfs)
         poses = np.stack([k.Tcw for k in kfs]).astype(np.float32)
         old_poses = poses.copy()
+        # the tracker's current pose rides through the correction by its
+        # RELATIVE pose to the newest keyframe (ref CorrectLoop adjusts the
+        # current frame via its reference keyframe) — snapping Tcw to the
+        # corrected keyframe pose teleports the tracker ~10 frames backward
+        # and re-drifts the whole post-loop segment (measured: +0.8 m of
+        # keyframe error within 4 keyframes of the first correction)
+        T_rel_cur = system.Tcw @ np.linalg.inv(old_poses[-1])
 
         def rel(a: int, b: int) -> np.ndarray:
             return poses[a] @ np.linalg.inv(poses[b])
@@ -563,8 +570,28 @@ class Relocalizer:
             add_edge(a, b, rel(a, b))
         self._loop_edges.append((cand.kf_id, kf.kf_id))
 
+        # initial values: snap the current keyframe AND its covisible group
+        # onto the loop-consistent pose, preserving in-group relative poses
+        # (the reference's CorrectedSim3 map, LoopClosing.cc:462-508). Edge
+        # MEASUREMENTS above were all taken from the PRE-snap estimates
+        # (NonCorrectedSim3), so the graph starts with the loop edge already
+        # satisfied and the whole accumulated drift concentrated in the one
+        # seam edge at the group boundary — a far better basin than asking
+        # the optimizer to drag every pose against a near-consistent chain.
+        init_poses = poses.copy()
+        Tcw_kf_corr = np.linalg.inv(T_rel) @ poses[cand.kf_id]
+        snap = Tcw_kf_corr @ np.linalg.inv(poses[kf.kf_id])
+        group_ids = {kf.kf_id} | {
+            g.kf_id for g in system.map.covisible_keyframes(kf, k=10,
+                                                            min_shared=15)}
+        # never snap the anchor or the loop-target side
+        group_ids.discard(0)
+        group_ids.discard(cand.kf_id)
+        for gid in group_ids:
+            init_poses[gid] = (snap @ poses[gid]).astype(np.float32)
+
         graph = PoseGraph(
-            poses=jnp.asarray(poses),
+            poses=jnp.asarray(init_poses),
             edge_i=jnp.asarray(np.array(edges_i, np.int32)),
             edge_j=jnp.asarray(np.array(edges_j, np.int32)),
             edge_T=jnp.asarray(np.stack(edges_T).astype(np.float32)),
@@ -613,10 +640,20 @@ class Relocalizer:
             else:
                 k.Tcw = P
         # SearchAndFuse role (LoopClosing.cc:CorrectLoop -> SearchAndFuse):
-        # after correction the revisit keyframes' fresh map points land on
-        # top of the originals — fuse them so the covisibility graph
-        # reconnects across the loop (otherwise the two passes keep disjoint
-        # duplicate geometry)
+        # after correction the revisit keyframes' fresh map points land near
+        # the originals — fuse them so the covisibility graph reconnects
+        # across the loop. The radius must cover the RESIDUAL misalignment
+        # after the pose graph (the distributed drift, ~decimeters), not the
+        # steady-state duplicate radius: without cross-loop fusions the
+        # post-loop GBA sees a self-consistent map (points were re-anchored
+        # WITH their keyframes) and is a no-op — the reference's projection-
+        # space SearchAndFuse tolerates the same magnitudes via its 4-sigma
+        # pixel windows at depth.
+        # radius: a modest multiple of the steady-state duplicate radius —
+        # measured: scaling it to the full residual drift (~0.3 m) creates
+        # enough wrong-pair fusions that the post-loop GBA tears the middle
+        # of the loop (max keyframe error 0.92 -> 1.09 m); small radii keep
+        # only confident merges and let the pose graph carry the correction
         for k in [kf] + system.map.covisible_keyframes(kf, k=5):
             system.map.fuse_duplicates(k)
         # post-loop global BA (ref spawns RunGlobalBundleAdjustment after
@@ -624,5 +661,5 @@ class Relocalizer:
         # the pose-graph solution
         system.map.run_global_ba(passes=1)
         system.map.bump_version()
-        system.Tcw = kfs[-1].Tcw.astype(np.float32)
+        system.Tcw = (T_rel_cur @ kfs[-1].Tcw).astype(np.float32)
         system.velocity = np.eye(4, dtype=np.float32)

@@ -232,3 +232,30 @@ def test_dense_mapper_end_to_end(tmp_path, kf_data):
     mapper.save_pcd(path)
     assert os.path.getsize(path) > 1000
     mapper.close()
+
+
+def test_export_free_and_occupancy_2d(kf_data):
+    """Projected 2-D occupancy map (octomap_server downprojected_map role,
+    OctomapServer.cpp:1285): occupied walls become 100-cells, ray-carved
+    interior becomes known-free 0-cells, untouched space stays -1."""
+    mapper = DenseMapper(CAM, MCFG)
+    for rgb, depth, dyn, mask, label, pose in kf_data:
+        Tcw = np.linalg.inv(pose)
+        mapper.insert_keyframe(jnp.asarray(rgb), jnp.asarray(depth),
+                               jnp.asarray(mask), jnp.asarray(label), Tcw)
+    free = mapper.store.export_free()
+    assert len(free) > 1000          # ray misses carved interior space
+    origin, grid = mapper.export_occupancy_2d(y_min=-1.0, y_max=1.5)
+    assert grid.ndim == 2 and grid.dtype == np.int8
+    n_occ = (grid == 100).sum()
+    n_free = (grid == 0).sum()
+    n_unknown = (grid == -1).sum()
+    assert n_occ > 50, n_occ
+    assert n_free > 50, n_free
+    assert n_unknown > 0
+    # the back wall (z ~ 5.5) must appear as occupied cells at the far rows
+    res = MCFG.secondary_resolution_m
+    zi = int((5.5 - origin[1]) / res)
+    band = grid[max(zi - 3, 0):zi + 4]
+    assert (band == 100).sum() > 10
+    mapper.close()
