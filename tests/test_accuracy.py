@@ -60,21 +60,19 @@ def test_dyn_walk_full_res():
 
 @pytest.mark.slow
 def test_fast_camera_large_motion():
-    """Large inter-frame motion (the n-1 flow fallback path). Calibrated
-    r3: masked 0.046, unmasked 0.032 — at 4x walking speed the robust
-    optimizer handles the movers either way (the r3 SLAM-core improvements
-    lifted the unmasked baseline most); masking must track and not
-    substantially hurt. (r2 values were masked 0.053 / unmasked 0.046.)"""
+    """Large inter-frame motion (the n-1 flow fallback path).
+
+    Root-caused in r4 (VERDICT r3 #3): the regression was never mask
+    precision — running with the GROUND-TRUTH mask was equally bad (0.073
+    vs our 0.070) — it was the FEATURE BUDGET: erasure removed the
+    best-conditioned close-range corners and nothing replaced them. With
+    per-level budget refill (extract_orb over-selects 1.5x and penalizes
+    dynamic candidates), masked tracking matches or beats unmasked at 4x
+    walking speed. Calibrated r4: masked 0.031, unmasked 0.032."""
     r = accuracy_pair("fast_cam", n_frames=8, scale=0.5, n_features=600)
-    # absolute bound is the real criterion here: at 4x speed the two runs'
-    # margin bounces between recalibrations (r3 pre-LM: masked 0.056,
-    # unmasked 0.032; r3 post-LM-BA: masked 0.070, unmasked 0.031 — the LM
-    # chi2 trim is evaluated at the post-step state, which reshuffles the
-    # outlier set on this 2-keyframe IoU-0.35 synthetic; both runs stay well
-    # under the 8 cm cap); masking must not be catastrophic, so a loose
-    # sanity ratio backs up the cap
-    assert r["ate_masked_m"] < 0.08, r
-    assert r["ate_masked_m"] <= r["ate_unmasked_m"] * 2.5 + 1e-3, r
+    assert r["ate_masked_m"] < 0.05, r
+    # the VERDICT r3 #3 done-criterion: masked <= 1.3x unmasked at 4x speed
+    assert r["ate_masked_m"] <= r["ate_unmasked_m"] * 1.3 + 1e-3, r
     assert r["mask_iou"] > 0.3, r
 
 
