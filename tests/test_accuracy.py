@@ -28,9 +28,10 @@ def test_multi_mover_masked_beats_unmasked():
     assert r["ate_masked_m"] < 0.015, r
     assert r["ate_masked_m"] <= r["ate_unmasked_m"] * 1.05 + 1e-4, r
     # the detector must actually find the movers (and the parallax filter
-    # must not suppress them). Floor raised 0.3 -> 0.45 in r3 (temporal
-    # persistence + pre-driver-dilation mask reporting).
-    assert r["mask_iou"] > 0.45, r
+    # must not suppress them). Floor raised 0.3 -> 0.45 (r3) -> 0.60 (r4:
+    # redistributed dilation margin — the reported mask is the tight
+    # segmentation; measured 0.709).
+    assert r["mask_iou"] > 0.60, r
 
 
 def test_static_scene_masking_is_harmless():
@@ -50,12 +51,13 @@ def test_dyn_walk_full_res():
     r = accuracy_pair("dyn_walk", n_frames=10, scale=1.0)
     assert r["ate_masked_m"] < 0.01, r
     assert r["ate_masked_m"] < r["ate_unmasked_m"] + 1e-3, r
-    # floor raised 0.3 -> 0.55 -> 0.6 -> 0.64 in r3 (temporal persistence;
-    # parallax-fit hard-rejection + prev-mover exclusion + EPE-matched
-    # tolerance; then wide-baseline flow composition on large-motion frames
-    # + blob-gated persistence evidence + flow-warped persisted state:
-    # measured 0.676 full-res on CPU, ATE masked 2.8 mm vs 14.3 unmasked)
-    assert r["mask_iou"] > 0.64, r
+    # floor raised 0.3 -> 0.55 -> 0.6 -> 0.64 (r3) -> 0.70 (r4: the
+    # detector had ZERO missed mover pixels — the IoU deficit was boundary
+    # overshoot from the double safety dilation; the reported mask now
+    # carries the tight 4-iteration dilation while the feature-erasure
+    # ellipse grew to keep the reference's total margin: measured 0.729
+    # full-res on CPU, ATE masked 1.8 mm vs 14.6 unmasked)
+    assert r["mask_iou"] > 0.70, r
 
 
 @pytest.mark.slow
