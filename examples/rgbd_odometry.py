@@ -128,56 +128,22 @@ def main() -> int:
     n_done = 0
 
     if args.dyna and args.fused and slam is not None:
-        # ---- software-pipelined loop: the NEXT frame's fused front-end is
-        # dispatched between this frame's tracking dispatch and its blocking
-        # readback, so ~all front-end device time hides behind host-side
-        # tracking/bookkeeping (the reference's detection-thread overlap,
-        # via async dispatch instead of threads).
-        # The track readback itself is ALSO deferred one frame (the tracking
-        # thread publishing poses while bookkeeping lags, reference-style):
-        # per-frame Tcw below is then the motion-model prediction; the saved
-        # trajectory comes from slam.trajectory(), which replays the exact
-        # integrated poses.
+        # ---- single-dispatch pipeline (r4): dynamic-region detection,
+        # masked ORB, matching and pose optimization run as ONE jitted
+        # graph per frame (SlamSystem.track_fused) — each extra dispatch
+        # costs a full tunnel RPC round trip, so the r3 two-dispatch
+        # prefetch dance is gone. The track readback is deferred one frame
+        # (tracking-thread-publishes-while-bookkeeping-lags, reference-
+        # style): per-frame Tcw below is the motion-model prediction; the
+        # saved trajectory comes from slam.trajectory(), which replays the
+        # exact integrated poses.
         slam.deferred_track = True
-        from sindslam_tpu.slam.frame import frame_from_frontend
-
-        it = iter(frames_iter)
-        pending = None          # (out, rgb_j, d, ts) awaiting tracking
-        nxt = next(it, None)
-        while pending is not None or nxt is not None:
+        for rgb, depth, ts in frames_iter:
             t0 = time.time()
-            if pending is None:      # prime the pipeline
-                rgb, depth, ts = nxt
-                nxt = next(it, None)
-                rgb_j = jnp.asarray(rgb)
-                d = jnp.asarray(depth)
-                if fused_state is None:
-                    fused_state = init_state(cfg, im.rgb_to_gray(rgb_j))
-                out, fused_state = frontend_step(rgb_j, d, fused_state, cfg)
-                pending = (out, rgb_j, d, ts)
-            out, rgb_j, d, ts = pending
-            pending = None
-
-            nxt_inputs = None
-            if nxt is not None:
-                rgb2, depth2, ts2 = nxt
-                nxt = next(it, None)
-                nxt_inputs = (jnp.asarray(rgb2), jnp.asarray(depth2), ts2)
-
-            def prefetch():
-                nonlocal pending, fused_state
-                if nxt_inputs is None:
-                    return
-                rgb_j2, d2, ts2 = nxt_inputs
-                out2, fused_state = frontend_step(rgb_j2, d2, fused_state,
-                                                  cfg)
-                pending = (out2, rgb_j2, d2, ts2)
-
-            frame = frame_from_frontend(out, ts)
-            with timer.stage("track+frontend(pipelined)"):
-                Tcw, is_kf = slam.track_frame(frame, ts, prefetch=prefetch)
-            if pending is None:
-                prefetch()           # tracking path skipped the callback
+            rgb_j = jnp.asarray(rgb)
+            d = jnp.asarray(depth)
+            with timer.stage("frontend+track (one dispatch)"):
+                Tcw, is_kf, out = slam.track_fused(rgb_j, d, ts)
             info = {"n_matches": -1, "n_inliers": -1, "kf": is_kf}
             if mapper is not None and \
                     n_done % cfg.mapping.keyframe_decimation == 0:

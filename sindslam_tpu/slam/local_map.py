@@ -408,6 +408,8 @@ class LocalMap:
             return None
         problem, window, lut = built
         res = local_bundle_adjustment(problem, self.cam, self.cfg)
+        from sindslam_tpu.utils import host_prefetch
+        host_prefetch(res.packed)   # transfer rides out while tracking runs
         return (res, problem, window, lut)
 
     def integrate_local_ba(self, handle, pre=None) -> Optional[float]:

@@ -84,6 +84,27 @@ class SlamSystem:
         # pose updates); the RGB-D driver/bench enable it.
         self.deferred_track = False
         self._track_pending: Optional[tuple] = None
+        # track_fused integration lag (frames): 2 keeps one whole frame of
+        # device compute in flight — frame i's dispatch never waits on
+        # frame i-1's result, and prefetched transfers land while the host
+        # works. Tracking matches against the last INTEGRATED frame with a
+        # velocity^lag motion-model prediction.
+        self.track_lag = 2
+        self._track_queue: List[tuple] = []
+        # adaptive-lag health: when the last integrated frame tracked
+        # weakly (or was lost/relocalized), the pipeline collapses to
+        # lag 1 until tracking is strong again — deep pipelining is a
+        # steady-state optimization, not something to ride through stress
+        self._track_health = True
+        self._last_dispatched = None   # (FrameData, predicted Tcw) of the
+        #   newest dispatched-but-unintegrated frame (see track_fused)
+        # front-end recurrent state for the single-dispatch fused path
+        # (track_fused); None until the first frame arrives
+        self.fe_state = None
+        # deferred per-frame match/visibility words: (device (P/2,) f32,
+        # slot->pid ids) per tracked frame, drained in ONE transfer at
+        # keyframe time (_drain_track_stats)
+        self._stats_pending: List[tuple] = []
 
     # ------------------------------------------------------------ tracking
 
@@ -145,6 +166,81 @@ class SlamSystem:
             prefetch()
         return self._track_pending[5].copy(), was_kf
 
+    def track_fused(self, rgb: jnp.ndarray, depth: jnp.ndarray,
+                    timestamp: float = 0.0):
+        """Track one RGB-D frame with front-end + tracking in ONE device
+        dispatch (``tracking.fused_frontend_track_step``): dynamic-region
+        detection, masked ORB, matching and pose optimization leave the
+        host exactly one RPC per frame (the r3 pipeline paid two). Manages
+        the front-end recurrent state internally; honors ``deferred_track``
+        exactly like :meth:`track_frame` (frame i's readback is integrated
+        while frame i+1's graph runs on the device).
+
+        Returns (Tcw, is_keyframe, FrontendOutput). The FrontendOutput's
+        mask/labels are device tensors for the caller's mapping stage.
+        """
+        from sindslam_tpu.frontend.pipeline import frontend_step, init_state
+        from sindslam_tpu.ops import image as im
+        from sindslam_tpu.slam.frame import frame_from_frontend
+        from sindslam_tpu.slam.tracking import fused_frontend_track_step
+
+        if self.fe_state is None:
+            self.fe_state = init_state(self.cfg, im.rgb_to_gray(rgb))
+        self._frame_count += 1
+        if not self.map.keyframes:
+            out, self.fe_state = frontend_step(rgb, depth, self.fe_state,
+                                               self.cfg)
+            frame = frame_from_frontend(out, timestamp)
+            self._initialize(frame, timestamp)
+            return self.Tcw.copy(), True, out
+
+        # integrate queued steps down to the configured lag FIRST (their
+        # device work finished during previous host iterations and their
+        # transfers were prefetched), so this frame's prediction and
+        # local-map tensors see the freshest committed pose/map
+        was_kf = False
+        lag = self.track_lag if (self.deferred_track
+                                 and self._track_health) else 1
+        if not self.deferred_track:
+            lag = 0
+        while len(self._track_queue) >= max(lag, 1):
+            _, kf_i = self._integrate_track(self._track_queue.pop(0))
+            was_kf = was_kf or kf_i
+        # track against the last DISPATCHED frame (one-frame baseline at any
+        # integration lag) at a pose guess RE-ANCHORED on the last
+        # INTEGRATED estimate: guess = velocity^(in-flight frames) @ Tcw.
+        # Anchoring on the previous dispatch's own guess instead compounds
+        # the innovations without bound (measured: 20-100 mm spikes at
+        # walking rate); anchoring on the estimate bounds the unprojection
+        # error to ONE innovation, which the map-matching stage absorbs.
+        # Tracking frame i against frame i-lag diverges at speed (the
+        # baseline doubles), hence the dispatched-frame features.
+        prev_guess = self.Tcw
+        for _ in range(len(self._track_queue)):
+            prev_guess = self.velocity @ prev_guess
+        if self._last_dispatched is not None and self._track_queue:
+            prev_frame_d = self._last_dispatched[0]
+        else:
+            prev_frame_d = self.prev_frame
+        Tcw_pred = (self.velocity @ prev_guess).astype(np.float32)
+        prev_Twc = np.linalg.inv(prev_guess).astype(np.float32)
+        pos, desc, ok, ids = self.map.local_point_tensors()
+        out, self.fe_state, res = fused_frontend_track_step(
+            rgb, depth, self.fe_state, prev_frame_d,
+            jnp.asarray(prev_Twc), jnp.asarray(Tcw_pred), pos, desc, ok,
+            self.cfg, self.tcfg.search_radius_fine)
+        from sindslam_tpu.utils import host_prefetch
+        host_prefetch(res.packed_small, res.packed_pts)
+        frame = frame_from_frontend(out, timestamp)
+        pending = (frame, timestamp, res, prev_frame_d, prev_Twc,
+                   Tcw_pred, pos, desc, ok, ids)
+        self._last_dispatched = (frame, Tcw_pred)
+        if self.deferred_track:
+            self._track_queue.append(pending)
+            return Tcw_pred.copy(), was_kf, out
+        Tcw, is_kf = self._integrate_track(pending)
+        return Tcw, is_kf, out
+
     def flush_tracking(self) -> None:
         """Integrate a deferred in-flight track step (trajectory export,
         shutdown, and checkpointing need every frame's true pose)."""
@@ -152,6 +248,35 @@ class SlamSystem:
             pending = self._track_pending
             self._track_pending = None
             self._integrate_track(pending)
+        while self._track_queue:
+            self._integrate_track(self._track_queue.pop(0))
+        self._drain_track_stats()
+
+    def _drain_track_stats(self):
+        """Apply the deferred per-frame match/visibility bookkeeping: ONE
+        concatenated device->host transfer for every frame since the last
+        drain (each frame's ~8 KB of bit-packed words would otherwise ride
+        its own tunnel round trip). Returns the LAST frame's decoded
+        (idx, flags, ids) or None."""
+        from sindslam_tpu.slam.tracking import unpack_track_points
+
+        if not self._stats_pending:
+            return None
+        last = None
+        for a, ids_i in self._stats_pending:
+            # each entry was host-prefetched at its dispatch, so these reads
+            # are completion checks, not round trips
+            host = np.asarray(a)
+            idx, flags = unpack_track_points(host, 2 * host.shape[0])
+            vis = flags[2] & (ids_i >= 0)
+            self.map.n_visible[ids_i[vis]] += 1
+            # ref Tracking.cc:987 IncreaseFound: inlier-matched map points
+            # count as found every tracked frame
+            found = flags[1] & (ids_i >= 0)
+            self.map.n_found[ids_i[found]] += 1
+            last = (idx, flags, ids_i)
+        self._stats_pending = []
+        return last
 
     def _dispatch_track(self, frame: FrameData, timestamp: float):
         """Dispatch the fused track step for ``frame`` WITHOUT reading back.
@@ -165,6 +290,8 @@ class SlamSystem:
                               frame, jnp.asarray(Tcw_pred),
                               pos, desc, ok, self.cam, self.tcfg,
                               self.tcfg.search_radius_fine)
+        from sindslam_tpu.utils import host_prefetch
+        host_prefetch(out.packed_small, out.packed_pts)
         return (frame, timestamp, out, self.prev_frame, prev_Twc, Tcw_pred,
                 pos, desc, ok, ids)
 
@@ -177,21 +304,22 @@ class SlamSystem:
          pos, desc, ok, ids) = pending
         P = pos.shape[0]
         is_kf = False
-        # ONE device->host transfer for the whole step result. If a deferred
-        # mapping stage (triangulation / BA result) is waiting, its packed
-        # array rides along in the SAME transfer — each tunnel round trip
-        # has a ~21 ms latency floor, so post-keyframe frames would
-        # otherwise pay two.
+        # The steady-state per-frame transfer is the SMALL packed result
+        # (136 B: poses + counts), PREFETCHED at dispatch time
+        # (host_prefetch / copy_to_host_async) so the np.asarray below is a
+        # ~0.2 ms completion check instead of a ~21-34 ms blocking round
+        # trip. The ~8 KB of per-point match/visibility words stays on
+        # device and batches to keyframe time (_drain_track_stats). A
+        # waiting mapping-stage result was prefetched at ITS dispatch, so
+        # reading it here is equally free.
+        small = np.asarray(out.packed_small)
         extra = self._peek_mapping_packed()
         if extra is not None:
-            n_track = out.packed.shape[0]
-            host = np.asarray(jnp.concatenate(
-                [out.packed, extra.ravel().astype(jnp.float32)]))
-            self._store_mapping_prefetch(host[n_track:])
-            track_host = host[:n_track]
-        else:
-            track_host = np.asarray(out.packed)
-        poses, counts, out_idx, flags = unpack_track_out(track_host, P)
+            self._store_mapping_prefetch(
+                np.asarray(extra).ravel().astype(np.float32))
+        poses = small[:32].reshape(2, 4, 4).copy()
+        counts = small[32:34].astype(np.int32)
+        out_idx = flags = None      # decoded lazily (see below)
         n_inl = int(counts[0])
 
         if n_inl < self.tcfg.min_tracked_points:
@@ -238,6 +366,7 @@ class SlamSystem:
 
         if n_inl < self.tcfg.min_tracked_points:
             # lost: extrapolate, record, and wait for relocalization
+            self._track_health = False
             self.lost = True
             self.Tcw = Tcw_pred
             self._record(timestamp)
@@ -247,18 +376,33 @@ class SlamSystem:
 
         n_map = int(counts[1]) if int(counts[1]) >= self.tcfg.min_tracked_points \
             else n_inl
+        self._track_health = (not relocalized) and \
+            n_map >= 2 * self.tcfg.min_tracked_points and \
+            int(counts[1]) >= self.tcfg.min_tracked_points
         Tcw_cur = poses[1]
-        m_valid = flags[0]
-        inl_mask = flags[1]
-        vis = flags[2] & (ids >= 0)
-        self.map.n_visible[ids[vis]] += 1
-        # Per-frame found bookkeeping (ref Tracking.cc:987 IncreaseFound):
-        # inlier-matched map points count as found EVERY tracked frame, so
-        # the found-ratio used by cull_points is comparable to the 0.25
-        # threshold the reference uses.
-        found = inl_mask & (ids >= 0)
-        self.map.n_found[ids[found]] += 1
-        m = _HostMatches(idx=out_idx, valid=m_valid)
+        if out_idx is not None:
+            # slow path (retry/relocalization decoded the full result):
+            # per-frame found/visible bookkeeping applies inline (ref
+            # Tracking.cc:987 IncreaseFound — inlier-matched map points
+            # count as found EVERY tracked frame, so the found-ratio
+            # cull_points uses is comparable to the reference's 0.25)
+            vis = flags[2] & (ids >= 0)
+            self.map.n_visible[ids[vis]] += 1
+            found = flags[1] & (ids >= 0)
+            self.map.n_found[ids[found]] += 1
+        else:
+            # fast path: the per-point words stay on device; bookkeeping
+            # batches to keyframe time (_drain_track_stats applies the same
+            # increments, frame by frame, from ONE concatenated transfer)
+            self._stats_pending.append((out.packed_pts, ids))
+
+        def _point_data():
+            """This frame's decoded (match idx, flags) — materialized only
+            when a consumer needs them (keyframe insertion / mono)."""
+            nonlocal out_idx, flags
+            if out_idx is None:
+                out_idx, flags, _ids = self._drain_track_stats()
+            return out_idx, flags
 
         # 3) velocity + keyframe policy. After relocalization the motion
         # model is meaningless (the reference clears mVelocity); keep
@@ -277,7 +421,9 @@ class SlamSystem:
                 and n_map > self.tcfg.min_tracked_points)
         )
         if need_kf:
-            self._insert_keyframe(frame, m, ids, inl_mask, timestamp)
+            kp_idx, kp_flags = _point_data()
+            m = _HostMatches(idx=kp_idx, valid=kp_flags[0])
+            self._insert_keyframe(frame, m, ids, kp_flags[1], timestamp)
             self.ref_tracked = n_map
             self.frames_since_kf = 0
             is_kf = True
@@ -287,9 +433,13 @@ class SlamSystem:
             # keyframe's ~230 ms tail is spread over the following frames
             # while its device work overlaps tracking compute
             self._service_mapping()
+            if len(self._stats_pending) >= 24:   # bound device-array backlog
+                self._drain_track_stats()
 
         self._record(timestamp)
         if self.mono_depth_from_map:
+            kp_idx, kp_flags = _point_data()
+            m = _HostMatches(idx=kp_idx, valid=kp_flags[0])
             frame = self._patch_depth_from_map(frame, m, ids)
         self.prev_frame = frame
         return self.Tcw.copy(), is_kf
@@ -464,6 +614,8 @@ class SlamSystem:
                        for n in nbrs]),
             jnp.asarray(np.stack([n.Tcw for n in nbrs]).astype(np.float32)),
             self.cam, self.tcfg)
+        from sindslam_tpu.utils import host_prefetch
+        host_prefetch(packed)
         return packed, free
 
     def _integrate_triangulation(self, kf, host, tri, pre=None) -> None:
@@ -583,6 +735,8 @@ class SlamSystem:
         import jax.numpy as jnp
 
         self._track_pending = None   # in-flight step targets the old map
+        self._track_queue = []
+        self._last_dispatched = None
         data = np.load(path)
         m = self.map
         # restore the vocabulary FIRST so re-indexing the keyframes below

@@ -87,18 +87,31 @@ class FullTrackOut(NamedTuple):
     #                       inlier/in-frustum in bits 13-15 — the payload is
     #                       ~8 KB instead of ~64 KB (the tunnel moves ~1 KB/ms
     #                       on top of its ~21 ms round-trip floor).
+    packed_small: jnp.ndarray  # (34,) float32: poses + counts only — the
+    #                       per-frame steady-state readback (136 B). The
+    #                       per-point words above are consumed lazily: the
+    #                       match/visibility bookkeeping batches to keyframe
+    #                       time (SlamSystem._stats_pending), so non-keyframe
+    #                       frames never pay the ~8 KB transfer.
+    packed_pts: jnp.ndarray    # (P/2,) float32: the bit-packed point words
+
+
+def unpack_track_points(words_f32: np.ndarray, P: int):
+    """Decode the bit-packed per-point words -> (idx (P,), flags (3, P))."""
+    words = np.ascontiguousarray(words_f32[:P // 2]).view(np.uint32)
+    code = np.empty(P, np.uint32)
+    code[0::2] = words & 0xFFFF
+    code[1::2] = words >> 16
+    idx = (code & 0x1FFF).astype(np.int32) - 1
+    flags = np.stack([(code >> b) & 1 for b in (13, 14, 15)]).astype(bool)
+    return idx, flags
 
 
 def unpack_track_out(packed: np.ndarray, P: int):
     """Host-side decode of FullTrackOut.packed -> (poses, counts, idx, flags)."""
     poses = packed[:32].reshape(2, 4, 4).copy()
     counts = packed[32:34].astype(np.int32)
-    words = np.ascontiguousarray(packed[34:34 + P // 2]).view(np.uint32)
-    code = np.empty(P, np.uint32)
-    code[0::2] = words & 0xFFFF
-    code[1::2] = words >> 16
-    idx = (code & 0x1FFF).astype(np.int32) - 1
-    flags = np.stack([(code >> b) & 1 for b in (13, 14, 15)]).astype(bool)
+    idx, flags = unpack_track_points(packed[34:], P)
     return poses, counts, idx, flags
 
 
@@ -140,11 +153,41 @@ def full_track_step(
             | ((in_frustum & map_ok).astype(jnp.uint32) << 15))
     words = jax.lax.bitcast_convert_type(
         code[0::2] | (code[1::2] << 16), jnp.float32)
-    packed = jnp.concatenate([
-        poses.reshape(-1), counts.astype(jnp.float32), words])
-    return FullTrackOut(packed=packed,
+    packed_small = jnp.concatenate([
+        poses.reshape(-1), counts.astype(jnp.float32)])
+    packed = jnp.concatenate([packed_small, words])
+    return FullTrackOut(packed=packed, packed_small=packed_small,
+                        packed_pts=words,
                         poses=poses, counts=counts, map_match_idx=m.idx,
                         flags=flags)
+
+
+@functools.partial(jax.jit, static_argnames=("syscfg", "radius"))
+def fused_frontend_track_step(
+    rgb: jnp.ndarray, depth: jnp.ndarray, fe_state,
+    prev: FrameData, prev_Twc: jnp.ndarray, Tcw_pred: jnp.ndarray,
+    map_pos: jnp.ndarray, map_desc: jnp.ndarray, map_ok: jnp.ndarray,
+    syscfg, radius: float,
+):
+    """FRONT-END + TRACKING as ONE device dispatch per frame.
+
+    Through the axon tunnel every dispatch costs a full RPC round trip on
+    top of compute; the r3 pipeline paid two per frame (front-end, then the
+    fused track step). Inlining ``frontend_step`` and ``full_track_step``
+    into one jitted graph halves the per-frame RPC count — and XLA gets to
+    overlap the ORB/masking tail with the matching/optimization head.
+    Returns (FrontendOutput, new front-end state, FullTrackOut)."""
+    from sindslam_tpu.frontend.pipeline import frontend_step
+
+    out, new_state = frontend_step(rgb, depth, fe_state, syscfg)
+    cur = FrameData(xy=out.features.xy, level=out.features.level,
+                    angle=out.features.angle, desc=out.features.desc,
+                    valid=out.features.valid, depth=out.kp_depth,
+                    ur=out.kp_ur, timestamp=0.0)
+    res = full_track_step(prev, prev_Twc, cur, Tcw_pred,
+                          map_pos, map_desc, map_ok,
+                          syscfg.camera, syscfg.tracking, radius)
+    return out, new_state, res
 
 
 class OdometryTracker:

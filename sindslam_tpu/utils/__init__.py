@@ -46,3 +46,18 @@ def setup_compilation_cache(repo_root: str | None = None) -> None:
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(repo_root, sub))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+def host_prefetch(*arrays) -> None:
+    """Start device->host transfers WITHOUT blocking (copy_to_host_async).
+
+    Through the axon tunnel a blocking np.asarray pays the full ~21-34 ms
+    round trip at the moment of the read; prefetching at DISPATCH time lets
+    the transfer ride out while the host does other work — measured 33.8 ms
+    -> 0.2 ms for a result read one frame later. No-op for arrays/backends
+    without the API (host numpy, interpret mode)."""
+    for a in arrays:
+        try:
+            a.copy_to_host_async()
+        except (AttributeError, TypeError):
+            pass

@@ -137,3 +137,39 @@ def test_deferred_track_matches_sync():
     ts_s, poses_s = run(False)
     assert len(ts_d) == len(frames) == len(ts_s)
     np.testing.assert_allclose(poses_d, poses_s, atol=1e-5)
+
+
+def test_track_fused_matches_track_frame():
+    """The single-dispatch fused path (front-end + tracking in one graph,
+    2-frame adaptive integration lag) must produce a trajectory equivalent
+    to the step-wise path on a walking-rate sequence (r4; calibrated:
+    identical keyframe counts, ATE within 1.5x of the step-wise path)."""
+    import jax.numpy as jnp
+
+    from sindslam_tpu.datasets.synthetic import make_benchmark_sequence
+    from sindslam_tpu.evaluation.benchmark import (run_sequence_slam,
+                                                   scaled_system_config)
+    from sindslam_tpu.evaluation import evaluate_ate
+    from sindslam_tpu.slam.system import SlamSystem
+
+    cfg = scaled_system_config(0.5, n_features=600)
+    frames, _ = make_benchmark_sequence("dyn_walk", n_frames=8, scale=0.5)
+
+    slam = SlamSystem(cfg)
+    slam.deferred_track = True        # exercises the lag-2 queue
+    for rgb, d, _g, _p, ts in frames:
+        Tcw, is_kf, out = slam.track_fused(jnp.asarray(rgb), jnp.asarray(d),
+                                           ts)
+    slam.shutdown()
+    ts_f, poses_f = slam.trajectory()
+
+    ts_s, est_s, _info = run_sequence_slam(frames, cfg, use_dyna=True)
+
+    gt_ts = np.array([f[4] for f in frames])
+    gt_xyz = np.stack([f[3][:3, 3] for f in frames])
+    ate_f = evaluate_ate(gt_ts, gt_xyz, ts_f,
+                         np.stack([p[:3, 3] for p in poses_f])).rmse
+    ate_s = evaluate_ate(gt_ts, gt_xyz, ts_s,
+                         np.stack([p[:3, 3] for p in est_s])).rmse
+    assert np.isfinite(ate_f)
+    assert ate_f < max(1.5 * ate_s, 0.02), (ate_f, ate_s)

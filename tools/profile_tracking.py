@@ -102,7 +102,25 @@ def run_pipelined(label):
           f"(worst {1000*np.max(times):.1f})", flush=True)
 
 
+def run_fused(label):
+    """r4 single-dispatch path: frontend + tracking in one jitted graph per
+    frame (SlamSystem.track_fused), track readback deferred one frame."""
+    slam = SlamSystem(cfg)
+    slam.deferred_track = True
+    times = []
+    for (rgb_j, d), (_r, _dd, _gd, _p, ts) in zip(UPLOADS, frames):
+        t0 = time.perf_counter()
+        slam.track_fused(rgb_j, d, ts)
+        times.append(time.perf_counter() - t0)
+    slam.flush_tracking()
+    print(f"[{label}] fused 1-dispatch {1000*np.mean(times[1:]):8.1f} ms/frame "
+          f"(worst {1000*np.max(times[1:]):.1f})", flush=True)
+
+
 run("warmup")
 run("steady")
 run_pipelined("pipelined")
 run_pipelined("pipelined2")
+run_fused("fused-warm")
+run_fused("fused")
+run_fused("fused2")
