@@ -132,7 +132,11 @@ def main() -> int:
                 float(np.percentile(per_frame, 50) * 1000),
                 float(np.percentile(per_frame, 95) * 1000))
 
-    rgbs_w, depths_w = segment(0.008, seed=0)
+    # 0.005/frame matches TUM fr3_walking's APPARENT rates (its rotation is
+    # ~0.2-0.3 deg/frame; this generator's sinusoids put proportionally more
+    # rotation into the amplitude than TUM's mostly-translational handheld
+    # motion, so the translation number is lower than TUM's ~1 cm/frame)
+    rgbs_w, depths_w = segment(0.005, seed=0)
     rgbs_f, depths_f = segment(0.025, seed=1)
     fps, lm_rate, p50, p95 = measure(rgbs_w, depths_w)
     fps_fast, lm_fast, _p50f, _p95f = measure(rgbs_f, depths_f)
@@ -155,19 +159,45 @@ def main() -> int:
     fps_off = n_off / (time.perf_counter() - t0)
 
     # Loop-closure companion line (VERDICT r3 #1): loop-closing ON vs OFF
-    # ATE on the 240-frame room-orbit revisit sequence — the end-to-end
+    # ATE on the 330-frame room-orbit revisit sequence — the end-to-end
     # demonstration of BoW detection + essential graph + post-loop GBA.
+    # Runs in a CPU subprocess: the metric is algorithmic (does the loop
+    # machinery detect/correct a revisit), not a device-throughput number,
+    # and long-horizon tracking on the TPU backend currently drifts ~2-4x
+    # faster than CPU on this rotation-heavy orbit (partly the Pallas ORB
+    # path — a known round-5 item; see README), which would measure the
+    # drift, not the loop closing.
     if os.environ.get("BENCH_SKIP_LOOP") != "1":
         try:
-            from sindslam_tpu.evaluation.benchmark import loop_closure_pair
+            import subprocess
 
-            lp = loop_closure_pair(n_frames=300, scale=0.5, n_features=800,
-                                   orbits=1.3)
+            env = dict(os.environ)
+            env["JAX_PLATFORMS"] = ""
+            env["JAX_PLATFORM_NAME"] = "cpu"
+            child = (
+                "import json\n"
+                "from sindslam_tpu.evaluation.benchmark import"
+                " loop_closure_pair\n"
+                "lp = loop_closure_pair(n_frames=330, scale=0.5,"
+                " n_features=800, orbits=1.3)\n"
+                "print('LOOPJSON ' + json.dumps(lp))\n")
+            r = subprocess.run(
+                [sys.executable, "-c", child], env=env, capture_output=True,
+                timeout=int(os.environ.get("BENCH_LOOP_TIMEOUT_S", "1800")),
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            line = [ln for ln in r.stdout.decode().splitlines()
+                    if ln.startswith("LOOPJSON ")]
+            if not line:
+                raise RuntimeError(r.stderr.decode()[-300:])
+            lp = json.loads(line[-1][len("LOOPJSON "):])
             print(json.dumps({
-                "metric": "ATE rmse, loop closing ON (room-orbit revisit)",
+                "metric": "ATE rmse, loop closing ON (room-orbit revisit, "
+                          "CPU backend)",
                 "value": round(lp["ate_loop_on_m"], 5),
                 "unit": "m",
                 "ate_loop_off_m": round(lp["ate_loop_off_m"], 5),
+                "kf_ate_loop_on_m": round(lp["kf_ate_loop_on_m"], 5),
+                "kf_ate_loop_off_m": round(lp["kf_ate_loop_off_m"], 5),
                 "loops_closed": lp["loops_closed"],
                 "n_keyframes": lp["n_keyframes"],
             }), flush=True)

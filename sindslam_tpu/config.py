@@ -311,6 +311,11 @@ class TrackingConfig:
     ba_max_keyframes: int = 20
     ba_max_points: int = 4096
     ba_iterations: int = 10
+    # FIXED anchor cameras included in each local-BA window (reference
+    # Optimizer.cc:453 lFixedCameras): out-of-window keyframes observing the
+    # window's points join with frozen poses, anchoring the shared points so
+    # the window cannot slide along weakly-constrained directions.
+    ba_max_fixed_anchors: int = 6
     # Joint global BA (matrix-free PCG on the Schur complement, ``gba.py``;
     # the role of Optimizer.cc:41 GlobalBundleAdjustemnt). Maps up to these
     # caps solve JOINTLY; larger maps fall back to windowed sweeps.

@@ -320,9 +320,33 @@ class LocalMap:
         point_id_lut maps BA point slots -> global map-point ids.
         """
         cfg = self.cfg
+        n_fixed_anchors = 0
         if window is None:
-            W = n_recent or cfg.ba_max_keyframes
+            W = (n_recent or cfg.ba_max_keyframes) - cfg.ba_max_fixed_anchors
             window = [k for k in self.keyframes if not k.culled][-W:]
+            # FIXED anchor cameras (ref Optimizer.cc:453 lFixedCameras):
+            # out-of-window keyframes observing the window's points join the
+            # problem with FROZEN poses. Without them the window is anchored
+            # only by its own oldest pose and can SLIDE along weakly-
+            # constrained directions (measured on the room orbit: local BA
+            # moved the newest keyframe 12-23 cm at chi2 ~0.3 — the shared
+            # points' out-of-window observations are exactly the missing
+            # constraint).
+            win_ids = {k.kf_id for k in window}
+            seen = np.zeros(cfg.max_map_points, bool)
+            wpids = np.concatenate([k.point_ids for k in window])
+            wpids = wpids[wpids >= 0]
+            seen[wpids[self.valid[wpids]]] = True
+            sel = seen[self._obs_pid]
+            obs_counts = np.bincount(self._obs_kf[sel],
+                                     minlength=len(self.keyframes))
+            cand = [(obs_counts[k.kf_id], k) for k in self.keyframes
+                    if not k.culled and k.kf_id not in win_ids
+                    and obs_counts[k.kf_id] >= 10]
+            cand.sort(key=lambda t: -t[0])
+            anchors = [k for _c, k in cand[:cfg.ba_max_fixed_anchors]]
+            n_fixed_anchors = len(anchors)
+            window = anchors + window   # anchors first: frozen, incl. gauge
         if len(window) < 2:
             return None
 
@@ -380,8 +404,10 @@ class LocalMap:
                 [poses, np.broadcast_to(np.eye(4, dtype=np.float32),
                                         (K - len(window), 4, 4))])
         fixed = np.zeros(K, bool)
-        fixed[0] = True                      # gauge anchor: oldest in window
-        if self.mono and len(window) >= 2:
+        # gauge: the fixed anchor cameras when present (they also pin scale
+        # for mono), else the oldest window pose
+        fixed[:max(n_fixed_anchors, 1)] = True
+        if self.mono and len(window) >= 2 and n_fixed_anchors < 2:
             fixed[1] = True                  # mono: second anchor pins scale
         fixed[len(window):] = True           # padding poses are inert
 
