@@ -314,8 +314,13 @@ class TrackingConfig:
     # FIXED anchor cameras included in each local-BA window (reference
     # Optimizer.cc:453 lFixedCameras): out-of-window keyframes observing the
     # window's points join with frozen poses, anchoring the shared points so
-    # the window cannot slide along weakly-constrained directions.
-    ba_max_fixed_anchors: int = 6
+    # the window cannot slide along weakly-constrained directions. DEFAULT
+    # 0 (disabled): A/B on the room-orbit benchmark measured the opposite
+    # trade — anchors stop the (rare) window slide but FREEZE accumulated
+    # drift into the map (odometry ATE 0.46 -> 0.87 with 6 anchors), because
+    # the frozen poses are themselves drifted. Enable for scenes with
+    # reliable long-baseline revisits.
+    ba_max_fixed_anchors: int = 0
     # Joint global BA (matrix-free PCG on the Schur complement, ``gba.py``;
     # the role of Optimizer.cc:41 GlobalBundleAdjustemnt). Maps up to these
     # caps solve JOINTLY; larger maps fall back to windowed sweeps.
