@@ -391,17 +391,16 @@ class SlamSystem:
             found = flags[1] & (ids >= 0)
             self.map.n_found[ids[found]] += 1
         else:
-            # fast path: the per-point words stay on device; bookkeeping
-            # batches to keyframe time (_drain_track_stats applies the same
-            # increments, frame by frame, from ONE concatenated transfer)
+            # fast path: the per-point words were host-prefetched at
+            # dispatch (copy_to_host_async), so draining them NOW costs a
+            # ~0.2 ms completion check, not a tunnel round trip — and the
+            # per-frame found/visible semantics (ref Tracking.cc:987) stay
+            # EXACTLY the reference's (deferring them to keyframe time
+            # shifted cull ratios enough to move culling decisions)
             self._stats_pending.append((out.packed_pts, ids))
+            out_idx, flags, _ids = self._drain_track_stats()
 
         def _point_data():
-            """This frame's decoded (match idx, flags) — materialized only
-            when a consumer needs them (keyframe insertion / mono)."""
-            nonlocal out_idx, flags
-            if out_idx is None:
-                out_idx, flags, _ids = self._drain_track_stats()
             return out_idx, flags
 
         # 3) velocity + keyframe policy. After relocalization the motion
