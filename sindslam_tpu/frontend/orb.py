@@ -356,15 +356,20 @@ def _brief_descriptors_mm(img_blur: jnp.ndarray, yx: jnp.ndarray,
     table = jnp.asarray(_binned_offset_table())              # (B, 512)
     M = (table[:, :, None] == jnp.arange(P * P)[None, None, :]
          ).astype(jnp.float32)                               # (B, 512, PP)
+    # HIGHEST, not DEFAULT: bf16 MXU passes round the 0-255 patch values to
+    # ~1 gray-level quantization right before the bit comparisons — measured
+    # 2.7 bits (p95 7) of Hamming noise per descriptor on real TPU, the
+    # round-4 long-horizon drift source (tools/bench_brief_variants.py:
+    # HIGHEST is exact for these one-hot contractions at +1.5 ms standalone).
     S = jnp.einsum("bse,ne->nbs", M, pf,
-                   precision=lax.Precision.DEFAULT)          # (N, B, 512)
+                   precision=lax.Precision.HIGHEST)          # (N, B, 512)
 
     tau = (2.0 * jnp.pi) / _N_ANGLE_BINS
     bins = jnp.mod(jnp.round(angle / tau).astype(jnp.int32), _N_ANGLE_BINS)
     bin_oh = (bins[:, None] == jnp.arange(_N_ANGLE_BINS)[None, :]
               ).astype(jnp.float32)                          # (N, B)
     samples = jnp.einsum("nbs,nb->ns", S, bin_oh,
-                         precision=lax.Precision.DEFAULT)    # (N, 512)
+                         precision=lax.Precision.HIGHEST)    # (N, 512)
     bits = (samples[:, :256] < samples[:, 256:]).astype(jnp.uint32)
     return _pack_bits(bits)
 
