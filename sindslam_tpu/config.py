@@ -321,6 +321,15 @@ class TrackingConfig:
     # the frozen poses are themselves drifted. Enable for scenes with
     # reliable long-baseline revisits.
     ba_max_fixed_anchors: int = 0
+    # Finite-weight gauge prior anchoring every local-BA window pose to its
+    # solve-entry estimate (r4 verdict #4): blocks the rare weakly-
+    # constrained window SLIDE (decimeters of collective motion at ~0.3
+    # chi2 profit) that the hard lFixedCameras anchoring would stop at the
+    # cost of freezing drifted poses. Units: chi2 (px^2) per rad^2 / m^2 of
+    # pose tangent motion; 10.0 makes a 15 cm window slide cost ~0.2 per
+    # pose while leaving normal mm-cm refinement steps (<1e-3 cost)
+    # untouched. 0 disables.
+    ba_pose_prior_weight: float = 10.0
     # Joint global BA (matrix-free PCG on the Schur complement, ``gba.py``;
     # the role of Optimizer.cc:41 GlobalBundleAdjustemnt). Maps up to these
     # caps solve JOINTLY; larger maps fall back to windowed sweeps.
@@ -337,6 +346,31 @@ class TrackingConfig:
     # MapPointCulling observation threshold (ref LocalMapping.cc cnThObs:
     # 3 for RGB-D/stereo, 2 for monocular)
     cull_th_obs: int = 3
+    # Loop-closing acceptance gates (the reference's never-degrade
+    # guarantees, ``LoopClosing.cc:231-400`` + ``CorrectLoop``):
+    # - a candidate relative transform must be corroborated by
+    #   >= loop_proj_min_matches guided-projection matches of the loop
+    #   side's map points into the current keyframe at the corrected pose
+    #   (ref: >= 40 total matches after ``SearchByProjection`` follows
+    #   ``OptimizeSim3``, LoopClosing.cc:389-399);
+    # - AFTER application the whole correction (pose graph + fuse + GBA)
+    #   must keep the map self-consistent — global robust reprojection
+    #   error within loop_accept_chi2_ratio of (and no more than
+    #   loop_accept_chi2_slack_px2 above) the pre-loop value — else the
+    #   map is rolled back wholesale (snapshot/restore). The reference
+    #   prevents bad corrections by gating BEFORE applying; the rollback
+    #   additionally covers a numerically-bad pose graph or GBA.
+    # - a closed loop starts a loop_cooldown_kfs keyframe cooldown
+    #   (ref ``mLastLoopKFid + 10``, LoopClosing.cc:151).
+    loop_proj_min_matches: int = 40
+    # window for the corroboration projection (and the cross-loop fuse):
+    # must cover the pixel footprint of the 3D-3D RANSAC's 0.10 m inlier
+    # threshold at typical depth (~9 px at fx~270), like the reference's
+    # th=7.5 sigma-scaled windows (ORBmatcher.cc SearchByProjection)
+    loop_proj_radius_px: float = 12.0
+    loop_accept_chi2_ratio: float = 1.35
+    loop_accept_chi2_slack_px2: float = 0.5
+    loop_cooldown_kfs: int = 10
     # Asynchronous keyframe processing (the reference's LocalMapping-thread
     # role, ``src/System.cc:90-91``): the keyframe's heavy tail
     # (triangulation readback, fuse/cull, local BA, loop detection) is

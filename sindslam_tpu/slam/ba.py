@@ -203,8 +203,16 @@ def _perobs_blocks(problem: BAProblem, cam, cfg: TrackingConfig, inv_sigma2,
     return Hcc_o, Hpp_o, Hcp_o, bc_o, bp_o, chi2
 
 
+def _prior_residual(poses: jnp.ndarray, prior_poses: jnp.ndarray
+                    ) -> jnp.ndarray:
+    """(K, 6) left-tangent deviation of each pose from its solve-entry
+    estimate: xi_k = log(Tcw_k inv(prior_k))."""
+    return se3.se3_log(poses @ se3.se3_inverse(prior_poses))
+
+
 def _gn_iteration(problem: BAProblem, cam, cfg: TrackingConfig, inv_sigma2,
-                  active, use_huber, lam):
+                  active, use_huber, lam, prior_poses=None,
+                  prior_w: float = 0.0):
     K = problem.poses.shape[0]
     P = problem.points.shape[0]
     kf1h = (problem.obs_kf[:, None] == jnp.arange(K)[None, :]
@@ -248,6 +256,18 @@ def _gn_iteration(problem: BAProblem, cam, cfg: TrackingConfig, inv_sigma2,
     S = S.reshape(K * 6, K * 6)
     g = g.reshape(K * 6)
     free6 = jnp.repeat(free, 6)
+    if prior_poses is not None and prior_w > 0.0:
+        # finite-weight gauge prior anchoring every pose to its solve-entry
+        # estimate (VERDICT r4 #4): cost += w ||log(Tcw inv(prior))||^2.
+        # Blocks the weakly-constrained window SLIDE (a near-null direction
+        # where a decimeter of collective motion buys ~0.3 chi2) without
+        # hard-freezing drifted anchors, which the r4 A/B showed locks
+        # accumulated drift into the map (the reference's lFixedCameras
+        # trade, Optimizer.cc:453-550; that mechanism remains available via
+        # ba_max_fixed_anchors). First-order prior Jacobian = identity.
+        r_pr = _prior_residual(problem.poses, prior_poses).reshape(K * 6)
+        S = S + jnp.diag(jnp.where(free6, prior_w, 0.0))
+        g = g + jnp.where(free6, prior_w * r_pr, 0.0)
     S = jnp.where(free6[:, None] & free6[None, :], S, 0.0)
     dS = jnp.diagonal(S)
     S = S + jnp.diag(jnp.where(free6, lam * dS + 1e-5, 1.0))
@@ -280,17 +300,30 @@ def local_bundle_adjustment(problem: BAProblem, cam: CameraConfig,
     active = problem.obs_valid
     delta = jnp.where(problem.obs_ur >= 0, jnp.sqrt(cfg.chi2_stereo),
                       jnp.sqrt(cfg.chi2_mono))
+    # gauge prior: anchor to the poses the window ENTERED the solve with
+    prior_poses = problem.poses
+    prior_w = float(getattr(cfg, "ba_pose_prior_weight", 0.0))
+    free_pose = ~problem.fixed_mask
+
+    def total_cost(prob, chi2, z_ok, active):
+        cost = _robust_cost(chi2, z_ok, active, delta)
+        if prior_w > 0.0:
+            r_pr = _prior_residual(prob.poses, prior_poses)
+            cost = cost + prior_w * jnp.sum(
+                jnp.where(free_pose[:, None], r_pr * r_pr, 0.0))
+        return cost
 
     def run(problem, active, n_iters, use_huber):
         chi2_0, z_ok0 = _chi2_eval(problem, cam, inv_sigma2)
-        cost0 = _robust_cost(chi2_0, z_ok0, active, delta)
+        cost0 = total_cost(problem, chi2_0, z_ok0, active)
 
         def it(carry, _):
             prob, lam, cost = carry
             cand, _ = _gn_iteration(prob, cam, cfg, inv_sigma2, active,
-                                    use_huber, lam)
+                                    use_huber, lam, prior_poses=prior_poses,
+                                    prior_w=prior_w)
             chi2_n, z_ok_n = _chi2_eval(cand, cam, inv_sigma2)
-            cost_n = _robust_cost(chi2_n, z_ok_n, active, delta)
+            cost_n = total_cost(cand, chi2_n, z_ok_n, active)
             ok = cost_n < cost
             prob = prob._replace(
                 poses=jnp.where(ok, cand.poses, prob.poses),

@@ -203,6 +203,47 @@ class LocalMap:
         self.bump_version()
         return len(src)
 
+    def replace_points(self, src: np.ndarray, dst: np.ndarray) -> int:
+        """Globally merge map points ``src[i]`` INTO ``dst[i]`` — every
+        keyframe's keypoint association and every observation pair is
+        redirected, then deduplicated (``MapPoint::Replace`` semantics,
+        reference ``MapPoint.cc:142-175``: the replacing point inherits the
+        replaced point's observations). Unlike :meth:`fuse_duplicates` this
+        handles OLD points referenced by many keyframes — the cross-loop
+        ``SearchAndFuse`` case (``LoopClosing.cc:CorrectLoop``)."""
+        src = np.asarray(src, np.int64)
+        dst = np.asarray(dst, np.int64)
+        keep = self.valid[src] & self.valid[dst] & (src != dst)
+        src, dst = src[keep], dst[keep]
+        if len(src) == 0:
+            return 0
+        # drop duplicate sources (one src merges into exactly one dst)
+        _, first = np.unique(src, return_index=True)
+        src, dst = src[first], dst[first]
+        remap = np.arange(self.cfg.max_map_points, dtype=np.int64)
+        remap[src] = dst
+        # collapse chains (a->b, b->c): two passes suffice for the
+        # one-round merges the loop fuse produces
+        remap = remap[remap]
+        for kf in self.keyframes:
+            m = kf.point_ids >= 0
+            kf.point_ids[m] = remap[kf.point_ids[m]]
+        self._obs_pid = remap[self._obs_pid]
+        # dedupe (pid, kf) pairs a merge may have doubled
+        key = self._obs_pid * np.int64(len(self.keyframes) + 1) + self._obs_kf
+        _, uniq_idx = np.unique(key, return_index=True)
+        self._obs_pid = self._obs_pid[uniq_idx]
+        self._obs_kf = self._obs_kf[uniq_idx]
+        self.valid[src] = False
+        # n_obs of the merged point = its live observation-pair count
+        counts = np.bincount(self._obs_pid,
+                             minlength=self.cfg.max_map_points)
+        self.n_obs[dst] = counts[dst]
+        self.n_found[dst] += self.n_found[src]
+        self.n_visible[dst] += self.n_visible[src]
+        self.bump_version()
+        return len(src)
+
     def cull_keyframes(self, protect_last: int = 3, redundancy: float = 0.9
                        ) -> int:
         """Redundancy cull (reference ``LocalMapping::KeyFrameCulling``): a
@@ -549,6 +590,90 @@ class LocalMap:
         self.pos[lut[:n_used]] = pts[:n_used]
         self.bump_version()
         return chi2
+
+    # ------------------------------------------------- snapshot / restore
+
+    def snapshot(self) -> dict:
+        """Deep copy of every array a loop correction can mutate (poses,
+        points, observation pairs, fuse bookkeeping). Cheap: ~1 MB at the
+        default capacities. Used by the loop-closing acceptance gate
+        (the rollback half of the reference's never-degrade guarantee —
+        the reference gates BEFORE applying via its 40-match
+        ``SearchByProjection`` check, ``LoopClosing.cc:231-400``; here a
+        post-application map-consistency check + restore covers the same
+        contract against a numerically-bad pose graph or GBA)."""
+        n = self._next
+        return {
+            "next": n,
+            "pos": self.pos[:n].copy(),
+            "desc": self.desc[:n].copy(),
+            "valid": self.valid.copy(),
+            "n_obs": self.n_obs[:n].copy(),
+            "n_found": self.n_found[:n].copy(),
+            "n_visible": self.n_visible[:n].copy(),
+            "created_kf": self.created_kf[:n].copy(),
+            "obs_pid": self._obs_pid.copy(),
+            "obs_kf": self._obs_kf.copy(),
+            "kf_Tcw": [kf.Tcw.copy() for kf in self.keyframes],
+            "kf_pids": [kf.point_ids.copy() for kf in self.keyframes],
+            "kf_culled": [kf.culled for kf in self.keyframes],
+            "n_keyframes": len(self.keyframes),
+        }
+
+    def restore(self, snap: dict) -> None:
+        """Restore the exact state captured by :meth:`snapshot`. Keyframes
+        inserted after the snapshot are NOT removed (the loop path never
+        inserts any between snapshot and restore)."""
+        n = snap["next"]
+        self._next = n
+        self.pos[:n] = snap["pos"]
+        self.desc[:n] = snap["desc"]
+        self.valid[:] = snap["valid"]
+        self.n_obs[:n] = snap["n_obs"]
+        self.n_found[:n] = snap["n_found"]
+        self.n_visible[:n] = snap["n_visible"]
+        self.created_kf[:n] = snap["created_kf"]
+        self._obs_pid = snap["obs_pid"]
+        self._obs_kf = snap["obs_kf"]
+        for kf, T, pids, culled in zip(self.keyframes, snap["kf_Tcw"],
+                                       snap["kf_pids"], snap["kf_culled"]):
+            kf.Tcw = T
+            kf.point_ids = pids
+            kf.culled = culled
+        self.bump_version()
+
+    def global_reproj_error(self, cap_px2: float = 50.0
+                            ) -> Tuple[float, int]:
+        """Robust mean squared reprojection error (px^2, capped at
+        ``cap_px2``) over every live observation, pure numpy — the cheap
+        map-consistency readout the loop-closing acceptance gate compares
+        before/after a correction. A correct loop correction moves
+        keyframes and points TOGETHER (points re-anchor with their
+        creating keyframe), so this stays ~constant; a torn seam or a
+        diverged GBA shows up immediately."""
+        total = 0.0
+        count = 0
+        for kf in self.keyframes:
+            if kf.culled:
+                continue
+            sel = np.where(kf.point_ids >= 0)[0]
+            if len(sel) == 0:
+                continue
+            pids = kf.point_ids[sel]
+            ok = self.valid[pids]
+            if not ok.any():
+                continue
+            sel, pids = sel[ok], pids[ok]
+            pc = self.pos[pids] @ kf.Tcw[:3, :3].T + kf.Tcw[:3, 3]
+            z = np.maximum(pc[:, 2], 1e-3)
+            u = pc[:, 0] / z * self.cam.fx + self.cam.cx
+            v = pc[:, 1] / z * self.cam.fy + self.cam.cy
+            uv = kf.h.xy[sel]
+            e2 = (u - uv[:, 0]) ** 2 + (v - uv[:, 1]) ** 2
+            e2 = np.where(pc[:, 2] > 1e-3, e2, cap_px2)
+            total += float(np.minimum(e2, cap_px2).sum())
+            count += len(e2)
+        return (total / max(count, 1), count)
 
     # ----------------------------------------------------------- queries
 

@@ -24,7 +24,12 @@ Relocalization`` (``ORB_SLAM2/src/LoopClosing.cc``, ``Tracking.cc:357``,
 from __future__ import annotations
 
 import functools
+import os
 from typing import List, Optional, Tuple
+
+# gate diagnostics: SINDSLAM_LOOP_DEBUG=1 prints every candidate loop's
+# inlier count, projection-corroboration count, and acceptance-gate values
+_DEBUG = os.environ.get("SINDSLAM_LOOP_DEBUG") == "1"
 
 import numpy as np
 
@@ -191,8 +196,19 @@ class Relocalizer:
         self._kf_words: dict = {}
         self._pending_descs: List[np.ndarray] = []
         self._pending_kfs: List[KeyFrame] = []
-        self._key = jax.random.PRNGKey(42)
+        # every RANSAC key is derived by fold_in from DATA (frame count /
+        # keyframe-pair ids), never by sequentially splitting shared state:
+        # split-chain keys made the draw depend on how many relocalization
+        # attempts happened earlier in the run, so a single upstream numeric
+        # wobble (e.g. AOT-cache executables compiled for different host
+        # features) re-randomized every later loop solve (r4 verdict #1a)
+        self._base_key = jax.random.PRNGKey(42)
         self.loops_closed = 0
+        self.loops_rejected = 0          # candidate corrections rolled back
+        self._last_loop_kf_id = -(10 ** 9)
+        # per-accepted-loop Sim3 scale estimates (1.0 for rigid/RGB-D loops)
+        # — the mono scale-drift readout (ref Sim3Solver's s12)
+        self.loop_scales: List[float] = []
         # vocabulary growth (VERDICT r3 #4): the online tree starts small
         # (1000 words from the first keyframes) and RETRAINS DEEPER as the
         # corpus grows, re-quantizing every indexed keyframe — the scalable
@@ -353,7 +369,10 @@ class Relocalizer:
             # there is no 3D-3D option)
             from sindslam_tpu.slam.pnp import relocalize_pnp
 
-            self._key, sub = jax.random.split(self._key)
+            # data-derived key: deterministic per (frame, candidate) pair
+            # regardless of how many earlier relocalize calls happened
+            sub = jax.random.fold_in(
+                self._base_key, 7919 * int(system._frame_count) + kf_id)
             Tcw_pnp, n_pnp = relocalize_pnp(
                 jnp.asarray(pts_w), frame.xy, jnp.asarray(ok),
                 self.cfg.camera, self.cfg.tracking, sub,
@@ -384,6 +403,12 @@ class Relocalizer:
             return False
         if kf is None:
             kf = system.map.keyframes[-1]
+        # post-loop cooldown (ref LoopClosing.cc:151 ``mLastLoopKFid + 10``):
+        # right after a correction the revisit keyframes score high against
+        # the loop side by construction; re-closing there can only re-tear
+        cooldown = self.cfg.tracking.loop_cooldown_kfs
+        if kf.kf_id < self._last_loop_kf_id + cooldown:
+            return False
         words = self._kf_words.get(kf.kf_id)
         if words is None:
             return False
@@ -434,6 +459,7 @@ class Relocalizer:
             if self._close_with(system, kf, system.map.keyframes[cand_id],
                                 min_inliers):
                 self.loops_closed += 1
+                self._last_loop_kf_id = kf.kf_id
                 self._consistent_groups = []
                 return True
         return False
@@ -478,7 +504,10 @@ class Relocalizer:
                                                self.cfg.camera))
             pa[ok] = pk[ok]
             pb[ok] = pc[tgt[ok]]
-        self._key, sub = jax.random.split(self._key)
+        # data-derived key: the draw depends only on WHICH pair is solved,
+        # not on how many RANSACs ran before it (determinism, r4 verdict #1a)
+        sub = jax.random.fold_in(
+            self._base_key, 104729 * kf.kf_id + cand.kf_id)
         if scale_free:
             # Sim3 with scale free (ref Sim3Solver + OptimizeSim3,
             # bFixScale=false for mono): mono scale drift is part of the
@@ -501,9 +530,307 @@ class Relocalizer:
         # loop constraint: points_cand = T_rel points_kf
         # => Tcw_cand_corrected = T_rel @ Tcw_kf, so edge T_kf_cand:
         T_rel_np = np.asarray(T_rel)
+        if not np.all(np.isfinite(T_rel_np)):
+            return False
+        # GROW the correspondence set with the estimate and re-solve (the
+        # reference's ComputeSim3 sequence: SearchByProjection with the
+        # RANSAC Sim3 -> OptimizeSim3 on the grown set, LoopClosing.cc:
+        # 350-400). A weak mutual-NN pairing (few dozen inliers) leaves
+        # T_rel centimeters off; one guided-projection growth round pulls
+        # in hundreds of pairs and tightens it below the corroboration
+        # window.
+        if not scale_free:
+            T_grown = self._grow_and_refine_rigid(system, kf, cand, T_rel_np)
+            if T_grown is not None:
+                T_rel_np = T_grown
+        # acceptance gate 1 (PRE-apply, the reference's 40-match rule,
+        # LoopClosing.cc:389-399): the transform must be corroborated by
+        # enough guided-projection matches of the loop side's map points
+        # into the current keyframe at its corrected pose — far more
+        # evidence than the 3-point RANSAC consensus alone
+        n_proj = self._count_projection_matches(system, kf, cand, T_rel_np)
+        if _DEBUG and not scale_free:
+            # diagnose the corroboration geometry: for the RANSAC inlier
+            # pairs, where do the cand-side MAP points land in kf's image
+            # at the corrected pose vs the matched keypoint pixel?
+            inl_np = np.asarray(inl)
+            pid_c = cand.point_ids[tgt.clip(0)]
+            sel = inl_np & ok & (pid_c >= 0)
+            sel &= system.map.valid[pid_c.clip(0)]
+            if sel.any():
+                cam = self.cfg.camera
+                Tcw_corr = np.linalg.inv(T_rel_np) @ cand.Tcw
+                pc = system.map.pos[pid_c[sel]] @ Tcw_corr[:3, :3].T \
+                    + Tcw_corr[:3, 3]
+                z = np.maximum(pc[:, 2], 1e-3)
+                du = pc[:, 0] / z * cam.fx + cam.cx - kf.h.xy[sel, 0]
+                dv = pc[:, 1] / z * cam.fy + cam.cy - kf.h.xy[sel, 1]
+                e = np.hypot(du, dv)
+                print(f"[loop] diag kf={kf.kf_id} inlier map-point reproj "
+                      f"err px: med={np.median(e):.1f} p90="
+                      f"{np.percentile(e, 90):.1f} n={sel.sum()}",
+                      flush=True)
+        if _DEBUG:
+            print(f"[loop] kf={kf.kf_id} cand={cand.kf_id} "
+                  f"inl={int(jnp.sum(inl))} n_proj={n_proj} "
+                  f"(gate {self.cfg.tracking.loop_proj_min_matches})",
+                  flush=True)
+        if n_proj < self.cfg.tracking.loop_proj_min_matches:
+            return False
+
+        # acceptance gate 2 (POST-apply, never-harmful guarantee, r4
+        # verdict #1b): snapshot the map, apply the whole correction (pose
+        # graph + re-anchor + fuse + GBA), and keep it only if the map
+        # stays self-consistent; else restore everything
+        snap = system.map.snapshot()
+        Tcw_before = system.Tcw.copy()
+        vel_before = system.velocity.copy()
+        chi2_before, _ = system.map.global_reproj_error()
         self._apply_pose_graph(system, kf, cand, T_rel_np,
                                scale_free=scale_free)
+        chi2_after, _ = system.map.global_reproj_error()
+        tcfg = self.cfg.tracking
+        ok_chi2 = chi2_after <= (tcfg.loop_accept_chi2_ratio * chi2_before
+                                 + tcfg.loop_accept_chi2_slack_px2)
+        # the loop edge itself must be (approximately) satisfied after the
+        # graph+GBA — if the optimizer could not absorb the measured
+        # constraint the correction is unreliable
+        E = np.linalg.inv(T_rel_np) @ (cand.Tcw @ np.linalg.inv(kf.Tcw))
+        s_e = float(np.cbrt(max(abs(np.linalg.det(E[:3, :3])), 1e-30)))
+        resid_t = float(np.linalg.norm(E[:3, 3]))
+        ok_edge = resid_t < 0.5 and 0.5 < s_e < 2.0
+        if _DEBUG:
+            print(f"[loop] kf={kf.kf_id} cand={cand.kf_id} "
+                  f"chi2 {chi2_before:.3f}->{chi2_after:.3f} "
+                  f"(gate {tcfg.loop_accept_chi2_ratio}x+"
+                  f"{tcfg.loop_accept_chi2_slack_px2}) "
+                  f"edge_t={resid_t:.3f} s={s_e:.3f} "
+                  f"accept={ok_chi2 and ok_edge}", flush=True)
+        if not (ok_chi2 and ok_edge and np.isfinite(chi2_after)):
+            system.map.restore(snap)
+            system.Tcw = Tcw_before
+            system.velocity = vel_before
+            if self._loop_edges and self._loop_edges[-1] == (cand.kf_id,
+                                                            kf.kf_id):
+                self._loop_edges.pop()
+            self.loops_rejected += 1
+            return False
+        self.loop_scales.append(
+            float(np.cbrt(max(abs(np.linalg.det(T_rel_np[:3, :3])), 1e-30))))
         return True
+
+    def _search_and_fuse(self, system, kf: KeyFrame, cand: KeyFrame,
+                         cap: int = 2048) -> int:
+        """Cross-loop observation fusion AFTER the pose-graph correction
+        (``LoopClosing.cc:CorrectLoop`` -> ``SearchAndFuse`` ->
+        ``ORBmatcher::Fuse``): the loop side's map points are projected into
+        the corrected revisit keyframes (current + covisible group);
+        a projected point matching a keypoint's descriptor inside the
+        window either REPLACES that keypoint's existing map point (global
+        merge, loop point wins — ``MapPoint::Replace``) or gains a new
+        observation there. Returns the number of fused/added associations."""
+        from sindslam_tpu.slam.frame import project_world_points
+
+        lmap = system.map
+        loop_group = [cand] + lmap.covisible_keyframes(cand, k=10)
+        pids = np.concatenate(
+            [g.point_ids[g.point_ids >= 0] for g in loop_group])
+        pids = np.unique(pids)
+        pids = pids[lmap.valid[pids]]
+        if len(pids) == 0:
+            return 0
+        pids = pids[:cap]
+        n = len(pids)
+        pos = np.zeros((cap, 3), np.float32)
+        desc = np.zeros((cap, 8), np.uint32)
+        okp = np.zeros(cap, bool)
+        desc[:n] = lmap.desc[pids]
+        okp[:n] = True
+        pid_pad = np.full(cap, -1, np.int64)
+        pid_pad[:n] = pids
+        tcfg = self.cfg.tracking
+        n_fused = 0
+        targets = [kf] + lmap.covisible_keyframes(kf, k=10)
+        for t in targets:
+            # positions re-read per target: replace_points below never moves
+            # points, but the loop-side set stays fixed across targets
+            pos[:n] = lmap.pos[pid_pad[:n]]
+            uv, inb = project_world_points(
+                jnp.asarray(pos), jnp.asarray(t.Tcw.astype(np.float32)),
+                self.cfg.camera)
+            m = matching.match_by_projection(
+                uv, inb & jnp.asarray(okp), jnp.asarray(desc),
+                jnp.zeros(cap, jnp.int32), t.frame.xy, t.frame.desc,
+                t.frame.level, t.frame.valid,
+                radius=tcfg.loop_proj_radius_px,
+                max_dist=tcfg.hamming_th_low, level_tolerance=8)
+            mv = np.asarray(m.valid)
+            tgt = np.asarray(m.idx)
+            src_rows = np.where(mv)[0]
+            if len(src_rows) == 0:
+                continue
+            loop_pid = pid_pad[src_rows]
+            kp_idx = tgt[src_rows]
+            live = lmap.valid[loop_pid]
+            loop_pid, kp_idx = loop_pid[live], kp_idx[live]
+            cur = t.point_ids[kp_idx]
+            # keypoints already bound to a DIFFERENT live point: global
+            # merge, the loop point absorbs the revisit-side duplicate
+            conflict = (cur >= 0) & (cur != loop_pid) & \
+                lmap.valid[np.maximum(cur, 0)]
+            if conflict.any():
+                n_fused += lmap.replace_points(cur[conflict],
+                                               loop_pid[conflict])
+            # free keypoints: new cross-loop observations (skip points this
+            # keyframe already observes elsewhere — no duplicate obs pairs)
+            seen = np.zeros(lmap.cfg.max_map_points, bool)
+            bound = t.point_ids[t.point_ids >= 0]
+            seen[bound] = True
+            free = (cur < 0) & ~seen[np.maximum(loop_pid, 0)]
+            if free.any():
+                lmap.add_observations(t, kp_idx[free], loop_pid[free])
+                n_fused += int(free.sum())
+        return n_fused
+
+    def _project_loop_points(self, system, kf: KeyFrame, cand: KeyFrame,
+                             T_rel: np.ndarray, radius: float,
+                             cap: int = 2048):
+        """Project the loop side's map points (cand + covisible group) into
+        ``kf`` at its corrected pose ``inv(T_rel) @ Tcw_cand`` and match by
+        descriptor inside ``radius``-px windows. Returns (matched loop pid
+        array, matched kf keypoint idx array) — the shared engine behind
+        the corroboration count and the growth re-match."""
+        from sindslam_tpu.slam.frame import project_world_points
+
+        group = [cand] + system.map.covisible_keyframes(cand, k=5)
+        pids = np.concatenate([g.point_ids[g.point_ids >= 0] for g in group])
+        pids = np.unique(pids)
+        pids = pids[system.map.valid[pids]]
+        if len(pids) == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        pids = pids[:cap]
+        n = len(pids)
+        pos = np.zeros((cap, 3), np.float32)
+        desc = np.zeros((cap, 8), np.uint32)
+        okp = np.zeros(cap, bool)
+        pos[:n] = system.map.pos[pids]
+        desc[:n] = system.map.desc[pids]
+        okp[:n] = True
+        Tcw_corr = (np.linalg.inv(T_rel) @ cand.Tcw).astype(np.float32)
+        # mono Sim3: normalize [[sR, t]] to the SE3 camera [[R, t/s]]
+        s = float(np.cbrt(max(abs(np.linalg.det(Tcw_corr[:3, :3])), 1e-30)))
+        if abs(s - 1.0) > 1e-6:
+            Tcw_corr = Tcw_corr.copy()
+            Tcw_corr[:3, :] /= s
+        uv, inb = project_world_points(jnp.asarray(pos),
+                                       jnp.asarray(Tcw_corr),
+                                       self.cfg.camera)
+        m = matching.match_by_projection(
+            uv, inb & jnp.asarray(okp), jnp.asarray(desc),
+            jnp.zeros(cap, jnp.int32), kf.frame.xy, kf.frame.desc,
+            kf.frame.level, kf.frame.valid,
+            radius=radius, max_dist=self.cfg.tracking.hamming_th_low,
+            level_tolerance=8)
+        mv = np.asarray(m.valid)
+        tgt = np.asarray(m.idx)
+        rows = np.where(mv[:n])[0]
+        return pids[rows], tgt[rows].astype(np.int64)
+
+    def _project_candidate_keypoints(self, kf: KeyFrame, cand: KeyFrame,
+                                     T_rel: np.ndarray, radius: float):
+        """Guided projection of the candidate's RAW depth-unprojected
+        KEYPOINTS into ``kf``'s image under the candidate transform
+        (p_kf = inv(T_rel) p_cand, intrinsics only — no world poses).
+        Keypoint-based (not map-point-based) because aggressive point
+        culling leaves old keyframes with map associations on only a few
+        percent of their keypoints; their raw depth geometry is dense and
+        self-consistent. Returns (cand kp idx, kf kp idx) arrays."""
+        from sindslam_tpu.geometry.camera import project_points
+
+        cam = self.cfg.camera
+        h = cand.h
+        z = h.depth
+        pc = np.stack([(h.xy[:, 0] - cam.cx) / cam.fx * z,
+                       (h.xy[:, 1] - cam.cy) / cam.fy * z, z],
+                      axis=1).astype(np.float32)
+        invT = np.linalg.inv(T_rel).astype(np.float32)
+        pk = pc @ invT[:3, :3].T + invT[:3, 3]
+        uv, inb = project_points(jnp.asarray(pk), cam)
+        src_ok = jnp.asarray(h.valid & (z > 0)) & inb
+        m = matching.match_by_projection(
+            uv, src_ok, cand.frame.desc,
+            cand.frame.level, kf.frame.xy, kf.frame.desc,
+            kf.frame.level, kf.frame.valid,
+            radius=radius, max_dist=self.cfg.tracking.hamming_th_low,
+            level_tolerance=8)
+        mv = np.asarray(m.valid)
+        tgt = np.asarray(m.idx)
+        rows = np.where(mv)[0]
+        return rows, tgt[rows]
+
+    def _grow_and_refine_rigid(self, system, kf: KeyFrame, cand: KeyFrame,
+                               T_rel: np.ndarray
+                               ) -> Optional[np.ndarray]:
+        """One growth round (ref ``ORBmatcher::SearchBySim3`` +
+        ``OptimizeSim3``, ``LoopClosing.cc:350-380``): guided-projection
+        re-match at 2x the corroboration window, then Huber-IRLS Horn on
+        the grown 3-D pairs (both sides raw depth unprojections, the same
+        geometry the RANSAC solved on). Returns the refined T_rel or None
+        if the grown set is too small."""
+        src, tgt = self._project_candidate_keypoints(
+            kf, cand, T_rel,
+            radius=2.0 * self.cfg.tracking.loop_proj_radius_px)
+        depth_k = kf.h.depth[tgt]
+        ok = depth_k > 0
+        if ok.sum() < 20:
+            if _DEBUG:
+                print(f"[loop] grow kf={kf.kf_id} cand={cand.kf_id} "
+                      f"only {int(ok.sum())} matches at 2x radius",
+                      flush=True)
+            return None
+        src, tgt, depth_k = src[ok], tgt[ok], depth_k[ok]
+        cam = self.cfg.camera
+        uv_k = kf.h.xy[tgt]
+        pa = np.stack([(uv_k[:, 0] - cam.cx) / cam.fx * depth_k,
+                       (uv_k[:, 1] - cam.cy) / cam.fy * depth_k,
+                       depth_k], axis=1).astype(np.float32)
+        z_c = cand.h.depth[src]
+        uv_c = cand.h.xy[src]
+        pb = np.stack([(uv_c[:, 0] - cam.cx) / cam.fx * z_c,
+                       (uv_c[:, 1] - cam.cy) / cam.fy * z_c, z_c],
+                      axis=1).astype(np.float32)
+        npairs = len(pa)
+        T_ref = refine_rigid_irls(jnp.asarray(pa), jnp.asarray(pb),
+                                  jnp.ones(npairs, bool),
+                                  jnp.asarray(T_rel.astype(np.float32)))
+        T_ref = np.asarray(T_ref)
+        if _DEBUG:
+            resid = np.linalg.norm(
+                pa @ T_ref[:3, :3].T + T_ref[:3, 3] - pb, axis=1)
+            print(f"[loop] grow kf={kf.kf_id} cand={cand.kf_id} "
+                  f"pairs={npairs} med_resid={np.median(resid):.4f}",
+                  flush=True)
+        return T_ref if np.all(np.isfinite(T_ref)) else None
+
+    def _count_projection_matches(self, system, kf: KeyFrame,
+                                  cand: KeyFrame, T_rel: np.ndarray,
+                                  cap: int = 2048) -> int:
+        """Guided-projection corroboration of a candidate loop transform
+        (the reference's post-``OptimizeSim3`` ``SearchByProjection`` count,
+        ``LoopClosing.cc:389-399`` / ``ORBmatcher.cc:SearchByProjection``):
+        descriptor matches inside the corroboration window under the
+        candidate transform. RGB-D projects the candidate's raw keypoints
+        (dense; see ``_project_candidate_keypoints``); mono projects the
+        loop side's MAP points (no depth channel), as the reference does."""
+        if not getattr(system.map, "mono", False):
+            src, _tgt = self._project_candidate_keypoints(
+                kf, cand, T_rel,
+                radius=self.cfg.tracking.loop_proj_radius_px)
+            return len(src)
+        pid_m, _kp = self._project_loop_points(
+            system, kf, cand, T_rel,
+            radius=self.cfg.tracking.loop_proj_radius_px, cap=cap)
+        return len(pid_m)
 
     def _apply_pose_graph(self, system, kf: KeyFrame, cand: KeyFrame,
                           T_rel: np.ndarray, min_covis_weight: int = 100,
@@ -639,21 +966,18 @@ class Relocalizer:
                 k.Tcw = T
             else:
                 k.Tcw = P
-        # SearchAndFuse role (LoopClosing.cc:CorrectLoop -> SearchAndFuse):
-        # after correction the revisit keyframes' fresh map points land near
-        # the originals — fuse them so the covisibility graph reconnects
-        # across the loop. The radius must cover the RESIDUAL misalignment
-        # after the pose graph (the distributed drift, ~decimeters), not the
-        # steady-state duplicate radius: without cross-loop fusions the
-        # post-loop GBA sees a self-consistent map (points were re-anchored
-        # WITH their keyframes) and is a no-op — the reference's projection-
-        # space SearchAndFuse tolerates the same magnitudes via its 4-sigma
-        # pixel windows at depth.
-        # radius: a modest multiple of the steady-state duplicate radius —
-        # measured: scaling it to the full residual drift (~0.3 m) creates
-        # enough wrong-pair fusions that the post-loop GBA tears the middle
-        # of the loop (max keyframe error 0.92 -> 1.09 m); small radii keep
-        # only confident merges and let the pose graph carry the correction
+        # SearchAndFuse (LoopClosing.cc:CorrectLoop -> SearchAndFuse ->
+        # ORBmatcher::Fuse, ORBmatcher.cc:825-977): project the LOOP side's
+        # map points into every corrected keyframe and merge by descriptor
+        # inside pixel windows. This is what hands the post-loop GBA real
+        # cross-loop constraints — without it the map is self-consistent
+        # after re-anchoring (points moved WITH their keyframes) and the
+        # GBA is a near-no-op (r4 verdict #2/#3). Projection windows +
+        # Hamming gating keep merges confident even though the residual
+        # 3-D misalignment after the pose graph is decimeters; a torn map
+        # from a wrong merge is caught by the caller's acceptance gate and
+        # rolled back.
+        self._search_and_fuse(system, kf, cand)
         for k in [kf] + system.map.covisible_keyframes(kf, k=5):
             system.map.fuse_duplicates(k)
         # post-loop global BA (ref spawns RunGlobalBundleAdjustment after

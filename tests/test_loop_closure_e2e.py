@@ -42,3 +42,28 @@ def test_room_orbit_loop_closure():
     assert r["frame_ms_median_late"] < 2.0 * r["frame_ms_median_early"], r
     # bookkeeping stays bounded by the live map, not the frame count
     assert r["n_obs_pairs"] < 40 * r["n_keyframes"] * 30, r
+
+
+@pytest.mark.veryslow
+def test_loop_closure_never_harmful_5_seeds():
+    """r4 verdict #1 done-criterion: loop-ON keyframe ATE <= loop-OFF on
+    EVERY seed (the acceptance gate + rollback guarantee), strictly better
+    on >= 3 of 5. A correction that can hurt is worse than none — the
+    reference gates corrections so they never degrade the map
+    (LoopClosing.cc:231-400)."""
+    from sindslam_tpu.evaluation.benchmark import loop_closure_pair
+
+    wins = 0
+    results = []
+    for seed in range(5):
+        r = loop_closure_pair(n_frames=300, scale=0.5, n_features=800,
+                              orbits=1.25, seed=seed)
+        results.append({k: r[k] for k in
+                        ("kf_ate_loop_on_m", "kf_ate_loop_off_m",
+                         "loops_closed")})
+        # never harmful (small numerical slack only)
+        assert r["kf_ate_loop_on_m"] <= 1.02 * r["kf_ate_loop_off_m"], \
+            (seed, results)
+        if r["kf_ate_loop_on_m"] < 0.95 * r["kf_ate_loop_off_m"]:
+            wins += 1
+    assert wins >= 3, results

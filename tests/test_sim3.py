@@ -178,18 +178,28 @@ def test_mono_loop_correction_end_to_end_fabricated():
     desc = rng.integers(0, 2 ** 32, (n, 8), dtype=np.uint32)
     pts_c = np.stack([rng.uniform(-1.5, 1.5, n), rng.uniform(-1, 1, n),
                       rng.uniform(2, 5, n)], -1)        # camera-frame points
+    # keypoints must be the REAL projections (round-5 acceptance gates
+    # verify the loop transform by guided projection + post-apply map
+    # consistency; geometrically-inconsistent fabrications are now
+    # correctly rejected). 1.1*pts_c projects to the SAME pixels (same
+    # rays), so both keyframes share this xy.
+    cam = cfg.camera
+    uv = np.stack([pts_c[:, 0] / pts_c[:, 2] * cam.fx + cam.cx,
+                   pts_c[:, 1] / pts_c[:, 2] * cam.fy + cam.cy],
+                  -1).astype(np.float32)
 
-    def make_frame():
+    def make_frame(consistent: bool = False):
+        xy = uv if consistent else rng.uniform(0, 400, (n, 2)).astype(np.float32)
         return FrameData(
-            xy=jnp.asarray(rng.uniform(0, 400, (n, 2)).astype(np.float32)),
+            xy=jnp.asarray(xy),
             level=jnp.zeros(n, jnp.int32), angle=jnp.zeros(n, jnp.float32),
             desc=jnp.asarray(desc), valid=jnp.ones(n, bool),
             depth=jnp.zeros(n, jnp.float32), ur=jnp.full(n, -1.0))
 
     # original keyframe at identity with correctly-scaled points
     ids_a = m.allocate_points(pts_c.copy(), desc, 0)
-    kf_a = m.insert_keyframe(make_frame(), np.eye(4, dtype=np.float32),
-                             ids_a, 0.0)
+    kf_a = m.insert_keyframe(make_frame(consistent=True),
+                             np.eye(4, dtype=np.float32), ids_a, 0.0)
     # spacer keyframes so the graph has a chain
     for k in range(1, 5):
         T = np.eye(4, dtype=np.float32)
@@ -199,8 +209,8 @@ def test_mono_loop_correction_end_to_end_fabricated():
     # revisit keyframe: SAME viewpoint but its map duplicates are 10%
     # larger (mono scale drift) — its camera-frame geometry is 1.1 * pts_c
     ids_b = m.allocate_points(1.1 * pts_c, desc, 5)
-    kf_b = m.insert_keyframe(make_frame(), np.eye(4, dtype=np.float32),
-                             ids_b, 5.0)
+    kf_b = m.insert_keyframe(make_frame(consistent=True),
+                             np.eye(4, dtype=np.float32), ids_b, 5.0)
 
     class FakeSystem:
         pass
@@ -209,7 +219,6 @@ def test_mono_loop_correction_end_to_end_fabricated():
     sys_.map = m
     sys_.Tcw = np.eye(4, dtype=np.float32)
     sys_.velocity = np.eye(4, dtype=np.float32)
-    m.run_global_ba = lambda passes=1: None
 
     reloc = Relocalizer(cfg)
     ok = reloc._close_with(sys_, kf_b, kf_a, min_inliers=25)
