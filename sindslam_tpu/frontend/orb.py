@@ -131,9 +131,35 @@ def _nms3(score: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(score >= mx, score, 0.0)
 
 
+def _topk_unrolled(x: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-k along the last axis via k unrolled argmax+mask passes.
+
+    Bit-identical to ``lax.top_k`` (argmax and top_k both break ties by
+    lowest index) but stays pure VPU work — no sort. For the per-cell
+    K=_CELL_TOPK=4 selection this replaced ``lax.approx_max_k`` on TPU: the
+    ~95%-recall approximation silently dropped the strongest corner in ~5%
+    of cells, making the TPU keypoint SET diverge from CPU's (one of the r4
+    real-TPU ORB quality drift sources, verdict r4 #2). Exact top_k was
+    rejected for the same spot at ~3 ms/frame (full sort of (nc, 1024));
+    k argmax passes cost k max-reductions, microseconds at k=4."""
+    cols = jnp.arange(x.shape[-1])
+    vals, idxs = [], []
+    for _ in range(k):
+        i = jnp.argmax(x, axis=-1)
+        vals.append(jnp.take_along_axis(x, i[..., None], -1)[..., 0])
+        idxs.append(i)
+        x = jnp.where(cols[None, :] == i[..., None], -jnp.inf, x)
+    return jnp.stack(vals, -1), jnp.stack(idxs, -1).astype(jnp.int32)
+
+
 def _cell_candidates(score: jnp.ndarray, quota: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Spatially-spread selection: top-_CELL_TOPK per 32x32 cell, then global
-    top-``quota`` by score. Returns ((quota, 2) int32 yx coords, (quota,) score)."""
+    top-``quota`` by score. Returns ((quota, 2) int32 yx coords, (quota,) score).
+
+    Backend-identical by construction: the per-cell pass is the unrolled
+    exact top-k, the global pass is an exact ``lax.top_k`` over the small
+    (~4 x n_cells) candidate vector — no approx_max_k anywhere, so the TPU
+    and CPU keypoint sets agree given equal score maps."""
     h, w = score.shape
     ch = -(-h // _CELL)
     cw = -(-w // _CELL)
@@ -141,23 +167,14 @@ def _cell_candidates(score: jnp.ndarray, quota: int) -> Tuple[jnp.ndarray, jnp.n
     s = jnp.full((ph, pw), -jnp.inf, score.dtype).at[:h, :w].set(
         jnp.where(score > 0, score, -jnp.inf))
     cells = s.reshape(ch, _CELL, cw, _CELL).transpose(0, 2, 1, 3).reshape(ch * cw, _CELL * _CELL)
-    # TPU has a hardware-accelerated approximate top-k; keypoint selection
-    # is a spreading heuristic, so a ~95%-recall candidate set is equivalent
-    # in effect (exact top_k is a full sort and measured ~3 ms/frame)
-    if jax.default_backend() == "tpu":
-        top_s, top_i = lax.approx_max_k(cells, _CELL_TOPK)
-    else:
-        top_s, top_i = lax.top_k(cells, _CELL_TOPK)         # (nc, K)
+    top_s, top_i = _topk_unrolled(cells, _CELL_TOPK)        # (nc, K)
     cy = (jnp.arange(ch * cw) // cw)[:, None] * _CELL + top_i // _CELL
     cx = (jnp.arange(ch * cw) % cw)[:, None] * _CELL + top_i % _CELL
     cand_s = top_s.reshape(-1)
     cand_y = cy.reshape(-1)
     cand_x = cx.reshape(-1)
     k = min(quota, cand_s.shape[0])
-    if jax.default_backend() == "tpu":
-        best_s, best_i = lax.approx_max_k(cand_s, k)
-    else:
-        best_s, best_i = lax.top_k(cand_s, k)
+    best_s, best_i = lax.top_k(cand_s, k)
     yx = jnp.stack([cand_y[best_i], cand_x[best_i]], axis=-1).astype(jnp.int32)
     if k < quota:  # pad (tiny levels)
         yx = jnp.pad(yx, ((0, quota - k), (0, 0)))
