@@ -132,14 +132,18 @@ def _host_pack(frame: FrameData) -> jnp.ndarray:
          desc_f], axis=1)
 
 
-def to_host(frame: FrameData) -> HostFrame:
-    """Materialize a frame to host with ONE transfer (f32 pack; descriptors
-    ride along bitcast to f32 — each transfer is a ~21 ms tunnel trip)."""
-    h = np.asarray(_host_pack(frame))
+def decode_host_pack(h: np.ndarray) -> HostFrame:
+    """Decode a transferred ``_host_pack`` array into a HostFrame."""
     d = np.ascontiguousarray(h[:, 7:15]).view(np.uint32)
     return HostFrame(xy=np.ascontiguousarray(h[:, :2]), ur=h[:, 2],
                      depth=h[:, 3], level=h[:, 4].astype(np.int32),
                      angle=h[:, 5], valid=h[:, 6] > 0.5, desc=d)
+
+
+def to_host(frame: FrameData) -> HostFrame:
+    """Materialize a frame to host with ONE transfer (f32 pack; descriptors
+    ride along bitcast to f32 — each transfer is a ~21 ms tunnel trip)."""
+    return decode_host_pack(np.asarray(_host_pack(frame)))
 
 
 def unproject_host(host: HostFrame, Twc: np.ndarray, cam: CameraConfig

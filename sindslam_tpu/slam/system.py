@@ -225,15 +225,18 @@ class SlamSystem:
         Tcw_pred = (self.velocity @ prev_guess).astype(np.float32)
         prev_Twc = np.linalg.inv(prev_guess).astype(np.float32)
         pos, desc, ok, ids = self.map.local_point_tensors()
-        out, self.fe_state, res = fused_frontend_track_step(
+        out, self.fe_state, res, kf_pack = fused_frontend_track_step(
             rgb, depth, self.fe_state, prev_frame_d,
             jnp.asarray(prev_Twc), jnp.asarray(Tcw_pred), pos, desc, ok,
             self.cfg, self.tcfg.search_radius_fine)
         from sindslam_tpu.utils import host_prefetch
-        host_prefetch(res.packed_small, res.packed_pts)
+        # kf_pack rides along: if this frame becomes a keyframe, its host
+        # feature pack is already in flight (saves the ~25 ms blocking
+        # readback + extra dispatch at insertion, r4 verdict #8)
+        host_prefetch(res.packed_small, res.packed_pts, kf_pack)
         frame = frame_from_frontend(out, timestamp)
         pending = (frame, timestamp, res, prev_frame_d, prev_Twc,
-                   Tcw_pred, pos, desc, ok, ids)
+                   Tcw_pred, pos, desc, ok, ids, kf_pack)
         self._last_dispatched = (frame, Tcw_pred)
         if self.deferred_track:
             self._track_queue.append(pending)
@@ -301,7 +304,8 @@ class SlamSystem:
         from sindslam_tpu.slam.tracking import full_track_step, unpack_track_out
 
         (frame, timestamp, out, prev_frame, prev_Twc, Tcw_pred,
-         pos, desc, ok, ids) = pending
+         pos, desc, ok, ids), kf_pack = pending[:10], \
+            (pending[10] if len(pending) > 10 else None)
         P = pos.shape[0]
         is_kf = False
         # The steady-state per-frame transfer is the SMALL packed result
@@ -422,7 +426,8 @@ class SlamSystem:
         if need_kf:
             kp_idx, kp_flags = _point_data()
             m = _HostMatches(idx=kp_idx, valid=kp_flags[0])
-            self._insert_keyframe(frame, m, ids, kp_flags[1], timestamp)
+            self._insert_keyframe(frame, m, ids, kp_flags[1], timestamp,
+                                  kf_pack=kf_pack)
             self.ref_tracked = n_map
             self.frames_since_kf = 0
             is_kf = True
@@ -477,14 +482,23 @@ class SlamSystem:
         self._record(timestamp)
 
     def _insert_keyframe(self, frame: FrameData, map_matches, map_ids,
-                         inl_mask, timestamp: float) -> None:
+                         inl_mask, timestamp: float, kf_pack=None) -> None:
         # the previous keyframe's deferred tail must be fully integrated
         # before a new keyframe builds on the map (usually already empty:
         # both stages drain within two tracked frames)
         self.flush_mapping()
         N = frame.xy.shape[0]
         point_ids = np.full(N, -1, np.int64)
-        host = to_host(frame)
+        # kf_pack (track_fused path): the host feature pack was computed in
+        # the SAME fused graph and host-prefetched at dispatch, so this
+        # decode is a completion check, not a fresh dispatch + blocking
+        # ~25 ms tunnel readback (r4 verdict #8)
+        if kf_pack is not None:
+            from sindslam_tpu.slam.frame import decode_host_pack
+
+            host = decode_host_pack(np.asarray(kf_pack))
+        else:
+            host = to_host(frame)
 
         # keypoints matched to existing map points keep them
         if map_matches is not None:

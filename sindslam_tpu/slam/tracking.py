@@ -187,7 +187,14 @@ def fused_frontend_track_step(
     res = full_track_step(prev, prev_Twc, cur, Tcw_pred,
                           map_pos, map_desc, map_ok,
                           syscfg.camera, syscfg.tracking, radius)
-    return out, new_state, res
+    # the keyframe host pack rides out of the SAME graph: if this frame is
+    # promoted to a keyframe, its ~60 KB feature pack was already prefetched
+    # at dispatch (host_prefetch) instead of costing a fresh dispatch + a
+    # blocking ~25 ms tunnel readback at insertion time (r4 verdict #8,
+    # README "remaining headroom": ~90 KB per-keyframe host pack)
+    from sindslam_tpu.slam.frame import _host_pack
+
+    return out, new_state, res, _host_pack(cur)
 
 
 class OdometryTracker:
