@@ -15,8 +15,12 @@ pose optimizer, triangulation, BA, and loop closing all already handle
 exclusively from epipolar triangulation against covisible keyframes (no
 depth channel exists), exactly like the reference's monocular LocalMapping
 path. Scale is fixed by the initialization convention (median scene depth
-= 1); Sim3 scale drift correction is not modeled (the SE3 pose graph
-matches the RGB-D configuration — documented deviation for mono).
+= 1); accumulated Sim(3) scale drift IS modeled at loop closures — the
+map's ``mono`` flag routes ``Relocalizer._close_with`` to the
+scale-estimating Horn RANSAC (``ransac_sim3``) and the 7-DoF essential
+graph (``pose_graph.optimize_pose_graph_sim3``), matching the reference's
+``bFixScale=false`` monocular configuration (``Sim3Solver.cc``,
+``Optimizer.cc:781``).
 """
 
 from __future__ import annotations
