@@ -16,11 +16,23 @@ def cpu_cache_dirname() -> str:
     import platform
 
     key = platform.machine()
+    got_flags = got_model = False
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith(("flags", "Features")):
+                # flags alone are NOT enough: two VMs with identical flag
+                # sets still got different LLVM model-based tuning features
+                # (+prefer-no-scatter/+prefer-no-gather), so their AOT
+                # executables cross-loaded with SIGILL-risk warnings (and
+                # run-to-run numeric drift — r4 verdict #1a). Key on the
+                # model name too.
+                if not got_flags and line.startswith(("flags", "Features")):
                     key += " " + " ".join(sorted(line.split(":", 1)[1].split()))
+                    got_flags = True
+                elif not got_model and line.startswith("model name"):
+                    key += " " + line.split(":", 1)[1].strip()
+                    got_model = True
+                if got_flags and got_model:
                     break
     except OSError:
         pass
