@@ -299,7 +299,7 @@ def rag_merge(
     # aggregated root features for downstream consumers: S^T (K-node feats),
     # rescaled from half-res units to full-res pixels (areas x4, x/y x2)
     S = (root[:, None] == jnp.arange(K)[None, :]).astype(jnp.float32)
-    cnt_r = S.T @ cnt
+    cnt_r = jnp.matmul(S.T, cnt, precision=_HI)
     centers_r = jnp.matmul(S.T, centers * cnt[:, None],
                            precision=_HI) / jnp.maximum(cnt_r[:, None], 1.0)
     centers_r = centers_r * jnp.array([2.0, 2.0, 1.0])

@@ -125,5 +125,6 @@ def sim3_scale(S: jnp.ndarray) -> jnp.ndarray:
 
 def sim3_transform_points(S: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
     """Apply [[sR, t]] to (..., N, 3) points."""
-    return jnp.einsum("...ij,...nj->...ni", S[..., :3, :3], pts) \
+    return jnp.einsum("...ij,...nj->...ni", S[..., :3, :3], pts,
+                      precision=jax.lax.Precision.HIGHEST) \
         + S[..., None, :3, 3]

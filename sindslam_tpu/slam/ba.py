@@ -207,7 +207,7 @@ def _prior_residual(poses: jnp.ndarray, prior_poses: jnp.ndarray
                     ) -> jnp.ndarray:
     """(K, 6) left-tangent deviation of each pose from its solve-entry
     estimate: xi_k = log(Tcw_k inv(prior_k))."""
-    return se3.se3_log(poses @ se3.se3_inverse(prior_poses))
+    return se3.se3_log(se3._mm(poses, se3.se3_inverse(prior_poses)))
 
 
 def _gn_iteration(problem: BAProblem, cam, cfg: TrackingConfig, inv_sigma2,
@@ -280,7 +280,7 @@ def _gn_iteration(problem: BAProblem, cam, cfg: TrackingConfig, inv_sigma2,
     dx_p = -jnp.einsum("pij,pj->pi", Hpp_inv, bp + Wt_dxc, precision=_HI)
     dx_p = jnp.where(jnp.isfinite(dx_p), dx_p, 0.0)
 
-    new_poses = se3.se3_exp(dx_c) @ problem.poses
+    new_poses = se3._mm(se3.se3_exp(dx_c), problem.poses)
     new_poses = jnp.where(problem.fixed_mask[:, None, None], problem.poses,
                           new_poses)
     # only move points that actually have observations

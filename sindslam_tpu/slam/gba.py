@@ -169,7 +169,7 @@ def _lm_step(problem: BAProblem, cam, cfg: TrackingConfig, inv_sigma2,
     dx_p = -jnp.einsum("pij,pj->pi", Hpp_inv, u, precision=_HI)
     dx_p = jnp.where(jnp.isfinite(dx_p), dx_p, 0.0)
 
-    new_poses = se3.se3_exp(dx_c) @ problem.poses
+    new_poses = se3._mm(se3.se3_exp(dx_c), problem.poses)
     new_poses = jnp.where(problem.fixed_mask[:, None, None], problem.poses,
                           new_poses)
     pt_seen = jax.ops.segment_sum(active.astype(jnp.float32), obs_pt,

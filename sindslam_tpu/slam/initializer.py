@@ -29,6 +29,10 @@ from jax import lax
 
 from sindslam_tpu.config import CameraConfig
 
+# bf16 MXU default would round DLT design matrices / rotations (see
+# geometry/se3.py::_mm); all initializer algebra is tiny, force exact f32.
+_HI = jax.lax.Precision.HIGHEST
+
 
 class InitResult(NamedTuple):
     ok: bool
@@ -71,7 +75,7 @@ def _dlt_homography(p1: jnp.ndarray, p2: jnp.ndarray,
     if w is not None:
         A = A * jnp.concatenate([w, w], 0)[:, None]
     # smallest right singular vector via eigh of A^T A (9x9)
-    M = A.T @ A
+    M = jnp.matmul(A.T, A, precision=_HI)
     w_, v = jnp.linalg.eigh(M)
     h = v[:, 0]
     return h.reshape(3, 3)
@@ -87,19 +91,19 @@ def _eight_point_f(p1: jnp.ndarray, p2: jnp.ndarray,
     A = jnp.stack([x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, o], -1)
     if w is not None:
         A = A * w[:, None]
-    M = A.T @ A
+    M = jnp.matmul(A.T, A, precision=_HI)
     w_, v = jnp.linalg.eigh(M)
     F = v[:, 0].reshape(3, 3)
     U, S, Vt = jnp.linalg.svd(F)
     S = S.at[2].set(0.0)
-    return (U * S[None, :]) @ Vt
+    return jnp.matmul(U * S[None, :], Vt, precision=_HI)
 
 
 def _h_transfer_err(H: jnp.ndarray, p1: jnp.ndarray, p2: jnp.ndarray
                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Squared symmetric transfer errors (1->2, 2->1)."""
     def apply(H, p):
-        q = p @ H[:, :2].T + H[:, 2][None, :]
+        q = jnp.matmul(p, H[:, :2].T, precision=_HI) + H[:, 2][None, :]
         return q[:, :2] / jnp.where(jnp.abs(q[:, 2:3]) > 1e-9, q[:, 2:3], 1e-9)
 
     e12 = jnp.sum((apply(H, p1) - p2) ** 2, -1)
@@ -114,8 +118,8 @@ def _f_epipolar_err(F: jnp.ndarray, p1: jnp.ndarray, p2: jnp.ndarray
     o = jnp.ones((p1.shape[0], 1), p1.dtype)
     h1 = jnp.concatenate([p1, o], -1)
     h2 = jnp.concatenate([p2, o], -1)
-    l2 = h1 @ F.T                                      # lines in image 2
-    l1 = h2 @ F
+    l2 = jnp.matmul(h1, F.T, precision=_HI)            # lines in image 2
+    l1 = jnp.matmul(h2, F, precision=_HI)
     num2 = jnp.sum(l2 * h2, -1) ** 2
     num1 = jnp.sum(l1 * h1, -1) ** 2
     e2 = num2 / jnp.maximum(l2[:, 0] ** 2 + l2[:, 1] ** 2, 1e-12)
@@ -204,7 +208,7 @@ def _ransac_models(p1: jnp.ndarray, p2: jnp.ndarray, valid: jnp.ndarray,
 
     # denormalize: H21 = T2^-1 Hn T1 ; F21 = T2^T Fn T1
     H = jnp.linalg.inv(T2) @ Hn @ T1
-    F = T2.T @ Fn @ T1
+    F = jnp.matmul(jnp.matmul(T2.T, Fn, precision=_HI), T1, precision=_HI)
 
     # inlier flags for the winners (pixel-space errors)
     eh12, eh21 = _h_transfer_err(H, p1, p2)
@@ -241,7 +245,7 @@ def _check_rt(R: np.ndarray, t: np.ndarray, K: np.ndarray, p1: np.ndarray,
     before accepting a pose."""
     X = _triangulate(R, t, K, p1, p2)
     z1 = X[:, 2]
-    X2 = X @ R.T + t
+    X2 = jnp.matmul(X, R.T, precision=_HI) + t
     z2 = X2[:, 2]
     pr1 = (X / np.maximum(z1[:, None], 1e-9)) @ K.T
     pr2 = (X2 / np.maximum(z2[:, None], 1e-9)) @ K.T
@@ -250,7 +254,7 @@ def _check_rt(R: np.ndarray, t: np.ndarray, K: np.ndarray, p1: np.ndarray,
     good = (z1 > 0) & (z2 > 0) & (e1 < max_reproj ** 2) & (e2 < max_reproj ** 2)
     parallax_deg = 0.0
     if good.any():
-        O2 = -R.T @ t                       # camera-2 center in cam-1 frame
+        O2 = -jnp.matmul(R.T, t, precision=_HI)  # camera-2 center in cam-1 frame
         n1 = X[good]
         n2 = X[good] - O2
         cosp = np.sum(n1 * n2, -1) / np.maximum(
@@ -264,15 +268,15 @@ def _check_rt(R: np.ndarray, t: np.ndarray, K: np.ndarray, p1: np.ndarray,
 
 def _decompose_f(F: np.ndarray, K: np.ndarray):
     """E = K^T F K -> 4 (R, t) candidates (``Initializer::ReconstructF``)."""
-    E = K.T @ F @ K
+    E = jnp.matmul(jnp.matmul(K.T, F, precision=_HI), K, precision=_HI)
     U, _S, Vt = np.linalg.svd(E)
     if np.linalg.det(U) < 0:
         U = -U
     if np.linalg.det(Vt) < 0:
         Vt = -Vt
     W = np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1]], float)
-    R1 = U @ W @ Vt
-    R2 = U @ W.T @ Vt
+    R1 = jnp.matmul(jnp.matmul(U, W, precision=_HI), Vt, precision=_HI)
+    R2 = jnp.matmul(jnp.matmul(U, W.T, precision=_HI), Vt, precision=_HI)
     tt = U[:, 2]
     tt = tt / max(np.linalg.norm(tt), 1e-12)
     return [(R1, tt), (R1, -tt), (R2, tt), (R2, -tt)]
@@ -301,8 +305,8 @@ def _decompose_h(H: np.ndarray, K: np.ndarray):
         st = aux_st * np.sign(x1 * x3) if x1 * x3 != 0 else aux_st
         Rp = np.array([[ct, 0, -st], [0, 1, 0], [st, 0, ct]])
         tp = (d1 - d3) * np.array([x1, 0, -x3])
-        R = s * U @ Rp @ Vt
-        t = U @ tp
+        R = s * jnp.matmul(jnp.matmul(U, Rp, precision=_HI), Vt, precision=_HI)
+        t = jnp.matmul(U, tp, precision=_HI)
         t = t / max(np.linalg.norm(t), 1e-12)
         out.append((R, t))
     # n'=(x1,0,x3) negative-depth branch
@@ -313,8 +317,8 @@ def _decompose_h(H: np.ndarray, K: np.ndarray):
         sp = aux_sp * np.sign(x1 * x3) if x1 * x3 != 0 else aux_sp
         Rp = np.array([[cp, 0, sp], [0, -1, 0], [sp, 0, -cp]])
         tp = (d1 + d3) * np.array([x1, 0, x3])
-        R = s * U @ Rp @ Vt
-        t = U @ tp
+        R = s * jnp.matmul(jnp.matmul(U, Rp, precision=_HI), Vt, precision=_HI)
+        t = jnp.matmul(U, tp, precision=_HI)
         t = t / max(np.linalg.norm(t), 1e-12)
         out.append((R, t))
     return out

@@ -61,7 +61,7 @@ def rigid_from_pairs(pa: jnp.ndarray, pb: jnp.ndarray, w: jnp.ndarray
     d = jnp.sign(jnp.linalg.det(jnp.matmul(Vt.T, U.T, precision=_HI)))
     D = jnp.diag(jnp.array([1.0, 1.0, 1.0]) * jnp.array([1.0, 1.0, 1.0])).at[2, 2].set(d)
     R = jnp.matmul(jnp.matmul(Vt.T, D, precision=_HI), U.T, precision=_HI)
-    t = cb - R @ ca
+    t = cb - jnp.matmul(R, ca, precision=_HI)
     T = jnp.eye(4).at[:3, :3].set(R).at[:3, 3].set(t)
     return T
 
@@ -83,7 +83,7 @@ def sim3_from_pairs(pa: jnp.ndarray, pb: jnp.ndarray, w: jnp.ndarray
     R = jnp.matmul(jnp.matmul(Vt.T, D, precision=_HI), U.T, precision=_HI)
     var_a = jnp.sum(w[:, None] * (pa - ca) ** 2) + 1e-12
     s = jnp.sum(S * jnp.diag(D)) / var_a
-    t = cb - s * (R @ ca)
+    t = cb - s * jnp.matmul(R, ca, precision=_HI)
     return jnp.eye(4).at[:3, :3].set(s * R).at[:3, 3].set(t)
 
 

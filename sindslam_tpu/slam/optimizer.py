@@ -44,7 +44,11 @@ def _project_residuals(Tcw, pts_w, obs_uv, obs_ur, inv_sigma2, cam: CameraConfig
     """
     R = Tcw[:3, :3]
     t = Tcw[:3, 3]
-    pc = pts_w @ R.T + t                       # (N, 3)
+    # HIGHEST: a bare @ runs bf16 on the TPU MXU — ~0.4% relative rounding
+    # of the camera-frame points (≈ mm-cm at scene depth) fed straight into
+    # the GN residuals (one of the real-TPU long-horizon drift sources,
+    # r5: TPU odometry drifted 2.2x CPU with exact ORB kernels).
+    pc = jnp.matmul(pts_w, R.T, precision=_HI) + t           # (N, 3)
     X, Y, Z = pc[:, 0], pc[:, 1], pc[:, 2]
     z_ok = Z > 1e-3
     Zs = jnp.where(z_ok, Z, 1.0)
@@ -119,7 +123,7 @@ def pose_optimization(
             H = H + 1e-6 * jnp.eye(6, dtype=H.dtype)
             dx = -jnp.linalg.solve(H, b)
             dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, jnp.zeros(6))
-            return se3.se3_exp(dx[None])[0] @ Tcw, None
+            return se3._mm(se3.se3_exp(dx[None])[0], Tcw), None
 
         Tcw, _ = jax.lax.scan(gn_step, Tcw, None, length=cfg.pose_opt_iters)
 

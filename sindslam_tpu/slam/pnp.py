@@ -50,7 +50,8 @@ def _dlt_pose(X: jnp.ndarray, xn: jnp.ndarray) -> jnp.ndarray:
     R0 = P[:, :3]
     # cheirality: a valid pose puts the (front-of-camera by construction)
     # points at positive depth; the null vector's sign is arbitrary
-    depth_sign = jnp.sign(jnp.sum(jnp.sign(Xh @ P[2])) + 0.5)
+    depth_sign = jnp.sign(jnp.sum(jnp.sign(
+        jnp.matmul(Xh, P[2], precision=_HI))) + 0.5)
     P = P * depth_sign
     R0 = P[:, :3]
     U, S, Vt = jnp.linalg.svd(R0)

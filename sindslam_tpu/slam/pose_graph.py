@@ -45,8 +45,8 @@ def _edge_terms(Ti, Tj, T_meas):
     and Tcw_j <- exp(xi_j) Tcw_j gives T_ij exp(-xi_j):
       exp(r^) exp(-xi_j) => Jj = -Adj(T_meas^-1 T_ij) (~ -I near convergence).
     """
-    T_ij = Ti @ se3.se3_inverse(Tj[None])[0]
-    E = se3.se3_inverse(T_meas[None])[0] @ T_ij
+    T_ij = se3._mm(Ti, se3.se3_inverse(Tj[None])[0])
+    E = se3._mm(se3.se3_inverse(T_meas[None])[0], T_ij)
     r = se3.se3_log(E[None])[0]
     Ji = se3.adjoint(se3.se3_inverse(T_meas[None])[0][None])[0]
     Jj = -se3.adjoint(E[None])[0]
@@ -116,7 +116,7 @@ def optimize_pose_graph(graph: PoseGraph, n_iters: int = 20,
         b = jnp.where(free6, b, 0.0)
         dx = -jnp.linalg.solve(H, b).reshape(K, 6)
         dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
-        new_poses = se3.se3_exp(dx) @ poses
+        new_poses = se3._mm(se3.se3_exp(dx), poses)
         new_poses = jnp.where(graph.fixed[:, None, None], poses, new_poses)
 
         cost_n = total_cost(new_poses)
@@ -140,8 +140,8 @@ def _edge_terms_sim3(Si, Sj, S_meas):
     ``Optimizer.cc:781`` with ``bFixScale=false``)."""
     from sindslam_tpu.geometry import sim3 as s3
 
-    S_ij = Si @ s3.sim3_inverse(Sj[None])[0]
-    E = s3.sim3_inverse(S_meas[None])[0] @ S_ij
+    S_ij = s3._mm(Si, s3.sim3_inverse(Sj[None])[0])
+    E = s3._mm(s3.sim3_inverse(S_meas[None])[0], S_ij)
     r = s3.sim3_log(E[None])[0]
     Ji = s3.sim3_adjoint(s3.sim3_inverse(S_meas[None])[0][None])[0]
     Jj = -s3.sim3_adjoint(E[None])[0]
@@ -200,7 +200,7 @@ def optimize_pose_graph_sim3(graph: PoseGraph, n_iters: int = 25,
         b = jnp.where(freeD, b, 0.0)
         dx = -jnp.linalg.solve(H, b).reshape(K, D)
         dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
-        new_poses = s3.sim3_exp(dx) @ poses
+        new_poses = s3._mm(s3.sim3_exp(dx), poses)
         new_poses = jnp.where(graph.fixed[:, None, None], poses, new_poses)
 
         cost_n = total_cost(new_poses)

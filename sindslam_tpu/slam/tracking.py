@@ -222,7 +222,7 @@ class OdometryTracker:
             return np.asarray(self.Tcw), info
 
         prev_Twc = se3.se3_inverse(self.Tcw[None])[0]
-        Tcw_pred = self.velocity @ self.Tcw
+        Tcw_pred = se3._mm(self.velocity, self.Tcw)
 
         res = track_against_frame(self.prev, prev_Twc, frame, Tcw_pred,
                                   self.cam, self.cfg,
@@ -239,7 +239,7 @@ class OdometryTracker:
 
         if n_inl >= self.cfg.min_tracked_points:
             new_Tcw = res.Tcw
-            self.velocity = new_Tcw @ se3.se3_inverse(self.Tcw[None])[0]
+            self.velocity = se3._mm(new_Tcw, se3.se3_inverse(self.Tcw[None])[0])
             self.Tcw = new_Tcw
             self.lost = False
         else:

@@ -16,26 +16,28 @@ def cpu_cache_dirname() -> str:
     import platform
 
     key = platform.machine()
-    got_flags = got_model = False
+    # flags alone are NOT enough: two VMs with identical flag sets still got
+    # different LLVM model-based tuning features (+prefer-no-scatter/
+    # +prefer-no-gather), cross-loading AOT executables with SIGILL-risk
+    # warnings and run-to-run numeric drift (r4 verdict #1a). The "model
+    # name" STRING is also not enough: cloud VMs report a generic
+    # "Intel(R) Xeon(R) Processor @ 2.10GHz" across different
+    # microarchitectures — LLVM's tuning keys on cpuid family/model, so key
+    # on the NUMERIC family/model/stepping lines (faithful in VMs).
+    want = ("flags", "Features", "model name", "cpu family", "model",
+            "stepping")
+    got: dict = {}
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                # flags alone are NOT enough: two VMs with identical flag
-                # sets still got different LLVM model-based tuning features
-                # (+prefer-no-scatter/+prefer-no-gather), so their AOT
-                # executables cross-loaded with SIGILL-risk warnings (and
-                # run-to-run numeric drift — r4 verdict #1a). Key on the
-                # model name too.
-                if not got_flags and line.startswith(("flags", "Features")):
-                    key += " " + " ".join(sorted(line.split(":", 1)[1].split()))
-                    got_flags = True
-                elif not got_model and line.startswith("model name"):
-                    key += " " + line.split(":", 1)[1].strip()
-                    got_model = True
-                if got_flags and got_model:
+                name = line.split(":", 1)[0].strip()
+                if name in want and name not in got:
+                    got[name] = " ".join(sorted(line.split(":", 1)[1].split()))
+                if len(got) == len(want):
                     break
     except OSError:
         pass
+    key += "".join(f" {k}={got[k]}" for k in sorted(got))
     return ".jax_cache_cpu_" + hashlib.sha1(key.encode()).hexdigest()[:10]
 
 
