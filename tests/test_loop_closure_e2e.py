@@ -26,14 +26,15 @@ def test_room_orbit_loop_closure():
     assert r["loops_closed"] >= 1, r
     # (b) the correction acts on keyframes: the keyframe-trajectory ATE
     #     (ref SaveKeyFrameTrajectoryTUM protocol) must drop vs the
-    #     loop-closing-OFF run. Calibrated r4: 0.294 vs 0.358 (-18%) — the
-    #     essential graph distributes the single loop constraint, it cannot
-    #     erase mid-loop drift (the reference's behaves the same way); the
-    #     margin asserts the correction HELPS and never hurts.
-    assert r["kf_ate_loop_on_m"] < 0.92 * r["kf_ate_loop_off_m"], r
-    # (c) the full replayed trajectory must improve too (diluted by
-    #     inter-keyframe tracking noise; calibrated 0.445 vs 0.464)
-    assert r["ate_loop_on_m"] < r["ate_loop_off_m"], r
+    #     loop-closing-OFF run. The r5 projection-space SearchAndFuse gives
+    #     the post-loop GBA cross-loop constraints; calibrated on this env
+    #     0.179 vs 0.272 (-34%), so the margin demands a SUBSTANTIAL
+    #     correction, not merely "does not hurt" (r4 margin was 0.92 at
+    #     -18% measured; VERDICT r4 #9 asked for the tightening).
+    assert r["kf_ate_loop_on_m"] < 0.80 * r["kf_ate_loop_off_m"], r
+    # (c) the full replayed trajectory must improve >= 10% too (diluted by
+    #     inter-keyframe tracking noise; calibrated 0.211 vs 0.284, -26%)
+    assert r["ate_loop_on_m"] < 0.90 * r["ate_loop_off_m"], r
     # the joint GBA bucket covered the whole map (<= 128 keyframes)
     assert r["n_keyframes"] <= 128, r
     # long-run scaling (VERDICT r3 #6): per-frame host time stays bounded
@@ -44,13 +45,13 @@ def test_room_orbit_loop_closure():
     assert r["n_obs_pairs"] < 40 * r["n_keyframes"] * 30, r
 
 
-@pytest.mark.veryslow
 def test_loop_closure_never_harmful_5_seeds():
     """r4 verdict #1 done-criterion: loop-ON keyframe ATE <= loop-OFF on
     EVERY seed (the acceptance gate + rollback guarantee), strictly better
     on >= 3 of 5. A correction that can hurt is worse than none — the
     reference gates corrections so they never degrade the map
-    (LoopClosing.cc:231-400)."""
+    (LoopClosing.cc:231-400). Promoted veryslow -> slow (r4 verdict #9:
+    the sweep must gate CI once the correction layers landed)."""
     from sindslam_tpu.evaluation.benchmark import loop_closure_pair
 
     wins = 0
