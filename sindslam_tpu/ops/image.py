@@ -203,9 +203,12 @@ def warp_by_flow_mm(img: jnp.ndarray, flow_u: jnp.ndarray, flow_v: jnp.ndarray,
 
     Wy/Wx are two-entry-per-row one-hot interpolation weights built from
     iota comparisons; XLA fuses their construction into the contractions so
-    the (H, W, max(H, W)) tensors never hit HBM at full cost. Numerically
-    within ~1e-2 of the gather warp (MXU bf16 passes); use for images, not
-    for geometry.
+    the (H, W, max(H, W)) tensors never hit HBM at full cost. The vertical
+    contraction runs at Precision.HIGH (bf16_3x): plain bf16 passes rounded
+    the [0, 1] working images by ~0.4% per warp, which fed the flow data
+    term every outer iteration and cost 1.4% dyn-mask IoU vs CPU (r5
+    measured TPU 0.715 -> 0.729 = CPU parity at HIGH, -2.1 ms/frame).
+    Still image-grade, not geometry-grade — use for images.
 
     Matches warp_by_flow semantics: clamped sampling + in-bounds mask.
     """
@@ -226,7 +229,7 @@ def warp_by_flow_mm(img: jnp.ndarray, flow_u: jnp.ndarray, flow_v: jnp.ndarray,
           + (k[None, None, :] == y0[:, :, None] + 1).astype(jnp.float32)
           * fy[:, :, None])                                   # (H, W, H)
     g = jnp.einsum("ijk,km->ijm", wy, img,
-                   precision=lax.Precision.DEFAULT)           # (H, W, W)
+                   precision=lax.Precision.HIGH)              # (H, W, W)
     m = jnp.arange(w, dtype=jnp.int32)
     wx = ((m[None, None, :] == x0[:, :, None]).astype(jnp.float32)
           * (1 - fx[:, :, None])
