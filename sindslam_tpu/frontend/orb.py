@@ -353,11 +353,21 @@ def _extract_patches(img_blur: jnp.ndarray, y0: jnp.ndarray, x0: jnp.ndarray
 def _brief_descriptors_mm(img_blur: jnp.ndarray, yx: jnp.ndarray,
                           angle: jnp.ndarray) -> jnp.ndarray:
     """Gather-free BRIEF: VMEM patch extraction + angle-binned static
-    sample tables.
+    sample tables, with the bin selected BEFORE the sampling contraction.
 
-      patches[n] = img[y0:y0+P, x0:x0+P]       (Pallas dynamic slices)
-      S[b, n, s] = M[b] @ patches_flat[n]     (static per-bin sample matrix)
-      samples[n, s] = S[bin(angle_n), n, s]   (one-hot bin select)
+      patches[n] = img[y0:y0+P, x0:x0+P]           (Pallas dynamic slices)
+      row_w[n,s,r] = sum_b bin_oh[n,b]*(ry[b,s]==r)   (one-hot x one-hot:
+      col_w[n,s,c] = sum_b bin_oh[n,b]*(rx[b,s]==c)    exact at ANY matmul
+                                                       precision — 0/1
+                                                       operands, one term)
+      G[n,s,c] = sum_r row_w[n,s,r] * patches[n,r,c]  (HIGHEST: real image
+      samples[n,s] = sum_c col_w[n,s,c] * G[n,s,c]     values, f32-exact)
+
+    An earlier formulation computed samples for ALL 64 bins then one-hot
+    selected (S[b,n,s] = M[b] @ patch[n]): 2.6e10 exact-f32 MACs/frame at
+    N=1000, 64x of it discarded. Selecting the bin first drops the exact-
+    precision contraction to 4e8 MACs (r5: extract_orb -1.3 ms on chip,
+    bit-identical by the TPU golden gate).
 
     Angle is quantized to 64 bins (<= 2.9 deg, <= 0.7 px at the pattern rim
     — below the 1 px rounding the reference's GET_VALUE already applies).
@@ -368,25 +378,29 @@ def _brief_descriptors_mm(img_blur: jnp.ndarray, yx: jnp.ndarray,
     c0 = P // 2
     y0 = jnp.clip(yx[:, 0] - c0, 0, h - P)
     x0 = jnp.clip(yx[:, 1] - c0, 0, w - P)
-    pf = _extract_patches(img_blur, y0, x0).reshape(n, P * P)
+    patches = _extract_patches(img_blur, y0, x0)             # (N, P, P)
 
-    table = jnp.asarray(_binned_offset_table())              # (B, 512)
-    M = (table[:, :, None] == jnp.arange(P * P)[None, None, :]
-         ).astype(jnp.float32)                               # (B, 512, PP)
-    # HIGHEST, not DEFAULT: bf16 MXU passes round the 0-255 patch values to
-    # ~1 gray-level quantization right before the bit comparisons — measured
-    # 2.7 bits (p95 7) of Hamming noise per descriptor on real TPU, the
-    # round-4 long-horizon drift source (tools/bench_brief_variants.py:
-    # HIGHEST is exact for these one-hot contractions at +1.5 ms standalone).
-    S = jnp.einsum("bse,ne->nbs", M, pf,
-                   precision=lax.Precision.HIGHEST)          # (N, B, 512)
-
+    table = _binned_offset_table()                           # (B, 512) np
+    ry = jnp.asarray(table // P)                             # (B, 512)
+    rx = jnp.asarray(table % P)
+    ry_oh = (ry[:, :, None] == jnp.arange(P)[None, None, :]
+             ).astype(jnp.float32)                           # (B, 512, P)
+    rx_oh = (rx[:, :, None] == jnp.arange(P)[None, None, :]
+             ).astype(jnp.float32)
     tau = (2.0 * jnp.pi) / _N_ANGLE_BINS
     bins = jnp.mod(jnp.round(angle / tau).astype(jnp.int32), _N_ANGLE_BINS)
     bin_oh = (bins[:, None] == jnp.arange(_N_ANGLE_BINS)[None, :]
               ).astype(jnp.float32)                          # (N, B)
-    samples = jnp.einsum("nbs,nb->ns", S, bin_oh,
-                         precision=lax.Precision.HIGHEST)    # (N, 512)
+    # 0/1 x 0/1 with exactly one nonzero term per output: exact in bf16
+    row_w = jnp.einsum("nb,bsr->nsr", bin_oh, ry_oh)         # (N, 512, P)
+    col_w = jnp.einsum("nb,bsc->nsc", bin_oh, rx_oh)         # (N, 512, P)
+    # HIGHEST, not DEFAULT: bf16 MXU passes round the patch values to ~1
+    # gray-level right before the bit comparisons — measured 2.7 bits
+    # (p95 7) of Hamming noise per descriptor on real TPU, the round-4
+    # long-horizon drift source (tools/bench_brief_variants.py).
+    G = jnp.einsum("nsr,nrc->nsc", row_w, patches,
+                   precision=lax.Precision.HIGHEST)          # (N, 512, P)
+    samples = jnp.sum(col_w * G, axis=-1)                    # (N, 512) f32
     bits = (samples[:, :256] < samples[:, 256:]).astype(jnp.uint32)
     return _pack_bits(bits)
 
