@@ -174,6 +174,7 @@ def _level_solve(
     u: jnp.ndarray, v: jnp.ndarray,
     cfg: FlowConfig,
     n_outer: int | None = None,
+    warp_precision=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Solve one pyramid level: warp, linearize, inner solve; repeat outer
     times. The inner solve (lagged nonlinearity + SOR) dispatches to a single
@@ -184,7 +185,12 @@ def _level_solve(
     # one-hot-matmul warp rides the MXU instead (8x faster at 288x384). Tiny
     # levels keep the gather (matmul padding overhead dominates below ~96 px).
     use_mm = _use_pallas(cfg) and min(i1.shape) >= 96
-    warp = im.warp_by_flow_mm if use_mm else im.warp_by_flow
+    if use_mm:
+        import functools as _ft
+        warp = im.warp_by_flow_mm if warp_precision is None else \
+            _ft.partial(im.warp_by_flow_mm, precision=warp_precision)
+    else:
+        warp = im.warp_by_flow
 
     def outer_step(carry, _):
         u, v = carry

@@ -189,6 +189,7 @@ def warp_by_flow(img: jnp.ndarray, flow_u: jnp.ndarray, flow_v: jnp.ndarray
 
 
 def warp_by_flow_mm(img: jnp.ndarray, flow_u: jnp.ndarray, flow_v: jnp.ndarray,
+                    precision=lax.Precision.HIGH,
                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Gather-free bilinear backward-warp via one-hot matmuls (MXU).
 
@@ -229,7 +230,7 @@ def warp_by_flow_mm(img: jnp.ndarray, flow_u: jnp.ndarray, flow_v: jnp.ndarray,
           + (k[None, None, :] == y0[:, :, None] + 1).astype(jnp.float32)
           * fy[:, :, None])                                   # (H, W, H)
     g = jnp.einsum("ijk,km->ijm", wy, img,
-                   precision=lax.Precision.HIGH)              # (H, W, W)
+                   precision=precision)                       # (H, W, W)
     m = jnp.arange(w, dtype=jnp.int32)
     wx = ((m[None, None, :] == x0[:, :, None]).astype(jnp.float32)
           * (1 - fx[:, :, None])
