@@ -297,6 +297,13 @@ class TrackingConfig:
     max_frames_between_kf: int = 30
     kf_ref_ratio: float = 0.75   # insert KF if tracked < ratio * ref tracked
     min_tracked_points: int = 30
+    # Floor for keyframe insertion (the reference's c2 clause,
+    # ``Tracking.cc:1072``: inliers > 15). None -> min_tracked_points (the
+    # historical RGB-D calibration); the mono layer sets 15 — with a
+    # low-coverage reference keyframe, a floor of 30 deadlocks: by the time
+    # the ratio gate fires, inliers are already below the floor, so no
+    # keyframe can ever be inserted and tracking starves (r5 mono orbit).
+    kf_min_inliers: Optional[int] = None
     # Epipolar triangulation of new map points (LocalMapping.cc:207
     # CreateNewMapPoints; neighbor count reduced from the reference's 10/20
     # because each neighbor is a vmapped lane of one fused dispatch)

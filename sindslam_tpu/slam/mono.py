@@ -45,10 +45,16 @@ class MonocularSystem:
     def __init__(self, cfg: SystemConfig, min_init_matches: int = 100):
         import dataclasses
 
-        # monocular observation threshold for the point cull (ref
-        # LocalMapping.cc cnThObs = mbMonocular ? 2 : 3)
+        # monocular thresholds: cnThObs = mbMonocular ? 2 : 3
+        # (LocalMapping.cc), keyframe policy thRefRatio = 0.9 and the
+        # 15-inlier c2 floor (Tracking.cc:1062-1072) — mono maps are
+        # sparse (points only from keyframe triangulation), so the RGB-D
+        # floor of 30 deadlocks keyframe insertion (see
+        # TrackingConfig.kf_min_inliers)
         cfg = dataclasses.replace(
-            cfg, tracking=dataclasses.replace(cfg.tracking, cull_th_obs=2))
+            cfg, tracking=dataclasses.replace(
+                cfg.tracking, cull_th_obs=2, kf_ref_ratio=0.9,
+                kf_min_inliers=15))
         self.cfg = cfg
         self.cam = cfg.camera
         self.slam = SlamSystem(cfg)

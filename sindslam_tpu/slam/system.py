@@ -330,6 +330,7 @@ class SlamSystem:
             # wide-window retry from the last pose (prev_frame comes from
             # the pending tuple: under deferred_track self.prev_frame has
             # already advanced to the frame being integrated)
+            out0, poses0, counts0 = out, poses, counts
             out = full_track_step(prev_frame, jnp.asarray(prev_Twc),
                                   frame, jnp.asarray(self.Tcw),
                                   pos, desc, ok, self.cam, self.tcfg,
@@ -337,6 +338,31 @@ class SlamSystem:
             poses, counts, out_idx, flags = unpack_track_out(
                 np.asarray(out.packed), P)
             n_inl = int(counts[0])
+            if (n_inl < self.tcfg.min_tracked_points
+                    and int(counts0[1]) >= self.tcfg.min_tracked_points
+                    and int(counts0[1]) > int(counts[1])):
+                # The retry widens the frame-to-frame window but abandons
+                # the motion-model prediction; at orbit-rate rotation that
+                # moves MAP projections out of the fine window and can
+                # collapse a perfectly healthy map solve (measured 74 -> 11
+                # inliers). Restore the original dispatch when its map
+                # stage is the stronger candidate.
+                out, poses, counts = out0, poses0, counts0
+                _p, _c, out_idx, flags = unpack_track_out(
+                    np.asarray(out0.packed), P)
+                n_inl = int(counts[0])
+
+        if (n_inl < self.tcfg.min_tracked_points
+                and int(counts[1]) >= self.tcfg.min_tracked_points):
+            # Frame-to-frame solve failed but the local-map window solve is
+            # healthy: adopt the map-refined pose (poses[1]) instead of
+            # declaring lost — the reference's TrackReferenceKeyFrame
+            # fallback (Tracking.cc: TrackWithMotionModel ||
+            # TrackReferenceKeyFrame, BEFORE relocalization). Critical for
+            # mono: a lost mono frame carries no depths, so the
+            # frame-to-frame stage can never recover on its own while the
+            # map stage still tracks fine from the predicted pose.
+            n_inl = int(counts[1])
 
         relocalized = False
         if n_inl < self.tcfg.min_tracked_points and self.relocalizer is not None:
@@ -417,12 +443,19 @@ class SlamSystem:
         self.Tcw = Tcw_cur.astype(np.float32)
         self.frames_since_kf += 1
 
+        kf_floor = (self.tcfg.kf_min_inliers
+                    if self.tcfg.kf_min_inliers is not None
+                    else self.tcfg.min_tracked_points)
         need_kf = (
             self.frames_since_kf >= self.tcfg.max_frames_between_kf
             or (n_map < self.tcfg.kf_ref_ratio * max(self.ref_tracked, 1)
                 and self.frames_since_kf > self.tcfg.min_frames_between_kf
-                and n_map > self.tcfg.min_tracked_points)
+                and n_map > kf_floor)
         )
+        import os as _os
+        if _os.environ.get("SINDSLAM_DEBUG_TRACK"):
+            print("  kfpol n_map", n_map, "ref_tracked", self.ref_tracked,
+                  "since", self.frames_since_kf, "need", need_kf, flush=True)
         if need_kf:
             kp_idx, kp_flags = _point_data()
             m = _HostMatches(idx=kp_idx, valid=kp_flags[0])
